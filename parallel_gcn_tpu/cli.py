@@ -1,0 +1,89 @@
+"""CLI entry point.
+
+Usage (mirrors the reference binary `./exec/gcn-par <dataset> [file=params.txt]`,
+src/main.cpp:24-32, plus free-form key=value overrides):
+
+    python -m parallel_gcn_tpu <dataset> [file=<params.txt>] [key=value ...]
+
+e.g.  python -m parallel_gcn_tpu cora
+      python -m parallel_gcn_tpu cora file=my_params.txt epochs=100 mode=eager
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from parallel_gcn_tpu.config import (
+    Config,
+    _parse_scalar,
+    default_params_path,
+    load_config,
+)
+from parallel_gcn_tpu.data.parser import load_dataset, to_device
+from parallel_gcn_tpu.train import fit
+
+
+def print_device_info() -> None:
+    """TPU analog of print_gpu_info (include/utils.cuh:81-111)."""
+    devices = jax.devices()
+    print(f"jax {jax.__version__} — {len(devices)} device(s):")
+    for d in devices:
+        print(f"  [{d.id}] {d.device_kind} ({d.platform})")
+    print()
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 2
+
+    dataset = argv[0]
+    overrides = {}
+    params_file = None
+    for arg in argv[1:]:
+        if "=" not in arg:
+            print(f"ignoring malformed argument {arg!r} (expected key=value)")
+            continue
+        key, val = arg.split("=", 1)
+        if key == "file":
+            params_file = val
+        else:
+            overrides[key] = (
+                [_parse_scalar(v) for v in val.split(",")] if "," in val
+                else _parse_scalar(val)
+            )
+
+    print_device_info()
+    cfg = load_config(params_file or default_params_path(dataset), overrides)
+
+    print(f"PARSING {dataset} ...")
+    ds = load_dataset(
+        dataset, cfg.data.data_dir, binarize_features=cfg.data.binarize_features
+    )
+    print(
+        f"nodes={ds.n_nodes} edges(nnz incl self-loops)={ds.graph.nnz} "
+        f"features={ds.input_dim} classes={ds.output_dim} "
+        f"train/val/test={ds.train_dim}/{ds.val_dim}/{ds.test_dim}"
+    )
+
+    use_dense = cfg.tpu.backend in ("auto", "dense")
+    dds = to_device(
+        ds,
+        node_pad=cfg.tpu.node_pad,
+        dense=use_dense and ds.n_nodes <= cfg.tpu.dense_threshold,
+    )
+
+    print("TRAINING AND EVALUATION OF GCN:")
+    result = fit(cfg, dds)
+    print(
+        f"epochs_run={result.epochs_run} "
+        f"avg_epoch_time={result.avg_epoch_time_s * 1e3:.3f} ms"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,197 @@
+"""Config system.
+
+The reference uses a vendored GetPot key=value parser plus compile-time ``-D``
+flags (reference: src/parser.cpp:211-271, Makefile:3-63, include/GetPot). Here
+everything is one runtime dataclass tree parsed from the same ``key = value``
+file format, so the per-dataset files under ``parameters/`` remain drop-in
+compatible with the reference's ``parameters/parameters_<name>.txt``.
+
+Compile-time flags of the reference become runtime booleans:
+  -DNO_FEATURE            -> ``DataConfig.binarize_features``
+  -DRESIDUAL_CONNECTIONS  -> ``GCNConfig.residual``
+  -DNO_OUTPUT             -> ``TrainConfig.verbose``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Sequence
+
+
+def _parse_scalar(text: str):
+    text = text.strip()
+    for cast in (int, float):
+        try:
+            return cast(text)
+        except ValueError:
+            pass
+    if text.lower() in ("true", "false"):
+        return text.lower() == "true"
+    return text
+
+
+def parse_keyvalue_file(path: str) -> dict:
+    """Parse a GetPot-style ``key = value`` file (comments start with ``#``).
+
+    Mirrors what the reference reads through GetPot (src/parser.cpp:213-247);
+    values that contain commas are returned as lists.
+    """
+    out: dict = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key = key.strip()
+            val = val.strip()
+            if "," in val:
+                out[key] = [_parse_scalar(v) for v in val.split(",") if v.strip()]
+            else:
+                out[key] = _parse_scalar(val)
+    return out
+
+
+@dataclass
+class GCNConfig:
+    """Model hyperparameters (reference: include/gcn.cuh:40-49)."""
+
+    n_layers: int = 2
+    hidden_dims: Sequence[int] = (16,)
+    dropouts: Sequence[float] = (0.5, 0.5)
+    epochs: int = 100
+    early_stopping: int = 0
+    residual: bool = False  # -DRESIDUAL_CONNECTIONS (include/module.cuh:149)
+
+    def __post_init__(self):
+        if isinstance(self.hidden_dims, (int, float)):
+            self.hidden_dims = (int(self.hidden_dims),)
+        self.hidden_dims = tuple(int(h) for h in self.hidden_dims)
+        if isinstance(self.dropouts, (int, float)):
+            self.dropouts = (float(self.dropouts),)
+        self.dropouts = tuple(float(d) for d in self.dropouts)
+        if len(self.hidden_dims) != self.n_layers - 1:
+            raise ValueError(
+                f"need n_layers-1={self.n_layers - 1} hidden_dims, got {self.hidden_dims}"
+            )
+        if len(self.dropouts) != self.n_layers:
+            raise ValueError(
+                f"need n_layers={self.n_layers} dropouts, got {self.dropouts}"
+            )
+
+
+@dataclass
+class AdamConfig:
+    """Optimizer hyperparameters (reference: include/optim.cuh:16-19)."""
+
+    learning_rate: float = 0.01
+    weight_decay: float = 5e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = ""  # resolved by data.parser.find_data_dir when empty
+    binarize_features: bool = False  # -DNO_FEATURE (src/parser.cpp:100-104)
+
+
+@dataclass
+class TPUConfig:
+    """TPU execution knobs — the analog of the reference's CudaParams
+    (include/utils.cuh:17-23), re-thought for XLA: instead of launch geometry we
+    choose an aggregation backend, compute dtype, and edge-chunk budget."""
+
+    backend: str = "auto"  # auto | dense | segment | bcsr (Pallas)
+    compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
+    matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
+    edge_chunk: int = 0  # 0 = auto from memory budget
+    dense_threshold: int = 8192  # use dense Â·X below this many (padded) nodes
+    node_pad: int = 8  # pad nodes to a multiple of this (TPU sublane)
+    seed: int = 19990304  # reference default seed (include/utils.cuh:22)
+
+
+@dataclass
+class TrainConfig:
+    verbose: bool = True
+    mode: str = "scan"  # scan (fused jitted epoch loop) | eager (python loop)
+    checkpoint_dir: str = ""
+    checkpoint_every: int = 0  # epochs; 0 = disabled
+
+
+@dataclass
+class Config:
+    gcn: GCNConfig = field(default_factory=GCNConfig)
+    adam: AdamConfig = field(default_factory=AdamConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+
+# keys the reference keeps in CudaParams / parameters files that have no TPU
+# meaning — accepted and ignored for drop-in file compatibility.
+_IGNORED_KEYS = {"num_blocks_factor", "num_threads"}
+
+_KEYMAP = {
+    "n_layers": ("gcn", "n_layers"),
+    "hidden_dims": ("gcn", "hidden_dims"),
+    "dropouts": ("gcn", "dropouts"),
+    "epochs": ("gcn", "epochs"),
+    "early_stopping": ("gcn", "early_stopping"),
+    "residual": ("gcn", "residual"),
+    "learning_rate": ("adam", "learning_rate"),
+    "weight_decay": ("adam", "weight_decay"),
+    "beta1": ("adam", "beta1"),
+    "beta2": ("adam", "beta2"),
+    "eps": ("adam", "eps"),
+    "seed": ("tpu", "seed"),
+    "backend": ("tpu", "backend"),
+    "compute_dtype": ("tpu", "compute_dtype"),
+    "matmul_precision": ("tpu", "matmul_precision"),
+    "edge_chunk": ("tpu", "edge_chunk"),
+    "dense_threshold": ("tpu", "dense_threshold"),
+    "binarize_features": ("data", "binarize_features"),
+    "data_dir": ("data", "data_dir"),
+    "verbose": ("train", "verbose"),
+    "mode": ("train", "mode"),
+}
+
+
+def load_config(path: str, overrides: dict | None = None) -> Config:
+    """Build a Config from a key=value file plus optional overrides.
+
+    Drop-in reader for the reference's parameters files
+    (parameters/parameters_<dataset>.txt)."""
+    raw = parse_keyvalue_file(path)
+    if overrides:
+        raw.update(overrides)
+
+    sections = {"gcn": {}, "adam": {}, "data": {}, "tpu": {}, "train": {}}
+    for key, val in raw.items():
+        if key in _IGNORED_KEYS:
+            continue
+        if key not in _KEYMAP:
+            raise KeyError(f"unknown config key {key!r} in {path}")
+        section, name = _KEYMAP[key]
+        sections[section][name] = val
+
+    return Config(
+        gcn=GCNConfig(**sections["gcn"]),
+        adam=AdamConfig(**sections["adam"]),
+        data=DataConfig(**sections["data"]),
+        tpu=TPUConfig(**sections["tpu"]),
+        train=TrainConfig(**sections["train"]),
+    )
+
+
+def default_params_path(dataset: str) -> str:
+    """Locate parameters/parameters_<dataset>.txt next to the repo root."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cand = os.path.join(here, "parameters", f"parameters_{dataset}.txt")
+    if os.path.exists(cand):
+        return cand
+    raise FileNotFoundError(f"no parameters file for dataset {dataset!r} at {cand}")

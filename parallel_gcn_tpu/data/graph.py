@@ -1,0 +1,170 @@
+"""Graph containers for TPU-static-shaped aggregation.
+
+The reference keeps the graph as host/device CSR (indptr+indices, values in a
+separate array; reference: include/sparse.cuh:11-29) and aggregates with ragged
+per-row loops (src/module.cu:172-186). TPU/XLA needs static shapes, so the
+on-device layout here is a **row-sorted, padded COO** (row/col/val arrays padded
+to a fixed edge count) plus an optional dense Â for small graphs where the MXU
+beats gather/scatter outright.
+
+The normalization matches the reference exactly: degrees include the implicit
+self-loop (it is the first CSR entry of every row, src/parser.cpp:29-31) and
+``val(src,dst) = 1/sqrt(deg(src)*deg(dst))`` (src/parser.cpp:164-181).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Graph:
+    """Device-side graph for `ops.graphsum`.
+
+    row/col/val are COO triplets sorted by ``row``; padding entries carry
+    ``val == 0`` and point at the last padded node so scatters stay in-bounds.
+    ``adj`` is the optional dense normalized adjacency (n_nodes × n_nodes),
+    present only when the dense backend is selected.
+
+    The adjacency is symmetric (undirected graph + symmetric normalization), so
+    Âᵀ = Â and the backward of aggregation reuses the same triplets — the same
+    shortcut the reference exploits by reusing one kernel for forward and
+    backward (src/module.cu:188-208).
+    """
+
+    row: jnp.ndarray  # int32 [n_edges_pad]
+    col: jnp.ndarray  # int32 [n_edges_pad]
+    val: jnp.ndarray  # float32 [n_edges_pad]
+    adj: jnp.ndarray | None  # float32 [n_nodes, n_nodes] or None
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded
+    n_real_nodes: int = dataclasses.field(metadata=dict(static=True))
+    n_real_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_edges_pad(self) -> int:
+        return self.row.shape[0]
+
+
+@dataclass(frozen=True)
+class HostCSR:
+    """Host-side CSR with values — the direct analog of the reference's
+    SparseIndex + value array (include/sparse.cuh:11-29)."""
+
+    indptr: np.ndarray  # int32/int64 [n_rows+1]
+    indices: np.ndarray  # int32 [nnz]
+    values: np.ndarray  # float32 [nnz]
+    n_rows: int
+    n_cols: int
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indices.shape[0])
+
+    def row_ids(self) -> np.ndarray:
+        """Expand indptr to a per-nnz row-id array (COO rows)."""
+        return np.repeat(
+            np.arange(self.n_rows, dtype=np.int32),
+            np.diff(self.indptr).astype(np.int64),
+        )
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.n_rows, self.n_cols), dtype=np.float32)
+        out[self.row_ids(), self.indices] = self.values
+        return out
+
+
+def normalized_adjacency_values(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Â edge weights: 1/sqrt(deg(src)·deg(dst)), degrees self-loop-inclusive.
+
+    Equivalent to reference src/parser.cpp:164-181 (calculateGraphValues),
+    vectorized. Computed in float32 to match the reference's `sqrtf`.
+    """
+    deg = np.diff(indptr).astype(np.float32)
+    src_deg = np.repeat(deg, np.diff(indptr).astype(np.int64))
+    dst_deg = deg[indices]
+    return (1.0 / np.sqrt(src_deg * dst_deg)).astype(np.float32)
+
+
+def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
+    """Build the graph CSR with the implicit self-loop as first neighbor of
+    every row, exactly like the reference parser (src/parser.cpp:29-31)."""
+    n = len(neighbor_lists)
+    counts = np.fromiter((1 + len(nb) for nb in neighbor_lists), dtype=np.int64, count=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = np.empty(indptr[-1], dtype=np.int32)
+    for i, nb in enumerate(neighbor_lists):
+        start = indptr[i]
+        indices[start] = i
+        if len(nb):
+            indices[start + 1 : indptr[i + 1]] = nb
+    values = normalized_adjacency_values(indptr, indices)
+    return HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
+
+
+def build_graph(
+    csr: HostCSR,
+    *,
+    node_pad: int = 8,
+    edge_pad: int = 512,
+    dense: bool = False,
+    n_nodes_pad: int | None = None,
+) -> Graph:
+    """Pad a host CSR into the static-shaped device Graph.
+
+    Padding edges get val=0 and row=col=n_nodes_pad-1 (in-bounds, harmless).
+    """
+    n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
+    e_pad = pad_to_multiple(max(csr.nnz, 1), edge_pad)
+
+    row = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    col = np.full(e_pad, n_pad - 1, dtype=np.int32)
+    val = np.zeros(e_pad, dtype=np.float32)
+    row[: csr.nnz] = csr.row_ids()
+    col[: csr.nnz] = csr.indices
+    val[: csr.nnz] = csr.values
+
+    adj = None
+    if dense:
+        adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
+        adj_np[row[: csr.nnz], col[: csr.nnz]] = val[: csr.nnz]
+        adj = jnp.asarray(adj_np)
+
+    return Graph(
+        row=jnp.asarray(row),
+        col=jnp.asarray(col),
+        val=jnp.asarray(val),
+        adj=adj,
+        n_nodes=n_pad,
+        n_real_nodes=csr.n_rows,
+        n_real_edges=csr.nnz,
+    )
+
+
+def random_graph(
+    n_nodes: int, avg_degree: int, seed: int = 0
+) -> tuple[HostCSR, list[np.ndarray]]:
+    """Synthetic undirected graph fixture for tests (reference uses the real
+    datasets as fixtures; small synthetic graphs stand in for unit tests)."""
+    rng = np.random.default_rng(seed)
+    half: dict[int, set[int]] = {i: set() for i in range(n_nodes)}
+    n_edges = n_nodes * avg_degree // 2
+    src = rng.integers(0, n_nodes, size=n_edges)
+    dst = rng.integers(0, n_nodes, size=n_edges)
+    for s, d in zip(src, dst):
+        if s == d:
+            continue
+        half[int(s)].add(int(d))
+        half[int(d)].add(int(s))
+    neighbor_lists = [np.array(sorted(half[i]), dtype=np.int32) for i in range(n_nodes)]
+    return add_self_loops_csr(neighbor_lists), neighbor_lists

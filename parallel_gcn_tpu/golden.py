@@ -1,0 +1,170 @@
+"""Golden sequential model — the numerical oracle.
+
+A pure-NumPy re-expression of the semantics shared by the reference's
+sequential CPU baseline (hpdga-spring23/src/{gcn,module,optim}.cpp) and its
+CUDA framework (src/{gcn,module,optim}.cu):
+
+    Z = softmax(Â · dropout(ReLU(Â · dropout(X)·W0) …)·W_{L-1})
+    loss = mean_{labeled} CE + wd/2·||W0||²  (L2 on the first weight only,
+                                              src/gcn.cu:157-158)
+    Adam with bias-corrected step size and L2 folded into the gradient
+    (src/optim.cu:42-62)
+
+Everything is float32. Dropout masks are passed in explicitly so the oracle is
+deterministic and RNG-agnostic (exact Philox parity is impossible on TPU; see
+SURVEY.md §4). Used only by tests — never on the hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from parallel_gcn_tpu.data.graph import HostCSR
+
+
+def csr_matvec_dense(csr: HostCSR, x: np.ndarray) -> np.ndarray:
+    """out = Â·x via explicit CSR traversal (hpdga-spring23/src/module.cpp:88-110,
+    but with the precomputed values of src/parser.cpp:164-181)."""
+    out = np.zeros((csr.n_rows, x.shape[1]), dtype=np.float32)
+    rows = csr.row_ids()
+    np.add.at(out, rows, csr.values[:, None] * x[csr.indices])
+    return out
+
+
+def glorot_range(rows: int, cols: int) -> float:
+    """Glorot-uniform half-range (src/variable.cu:63-83)."""
+    return float(np.sqrt(6.0 / (rows + cols)))
+
+
+def golden_forward(
+    weights: list[np.ndarray],
+    x: np.ndarray,
+    graph: HostCSR,
+    dropout_masks: list[np.ndarray] | None = None,
+    keep_probs: list[float] | None = None,
+    residual: bool = False,
+):
+    """Forward pass; returns (logits, intermediates for backward)."""
+    L = len(weights)
+    h = x.astype(np.float32)
+    saved = {"inputs": [], "pre_relu": [], "relu_mask": [], "prev": []}
+    prev = None
+    for layer in range(L):
+        if dropout_masks is not None and dropout_masks[layer] is not None:
+            h = h * dropout_masks[layer] / np.float32(keep_probs[layer])
+        saved["inputs"].append(h)
+        h = h @ weights[layer]
+        h = csr_matvec_dense(graph, h)
+        if residual and layer > 0 and prev is not None and prev.shape == h.shape:
+            h = h + prev
+        saved["pre_relu"].append(h)
+        if layer < L - 1:
+            mask = h > 0
+            saved["relu_mask"].append(mask)
+            h = np.where(mask, h, 0.0).astype(np.float32)
+            prev = h
+    return h, saved
+
+
+def golden_loss_acc(
+    logits: np.ndarray,
+    labels: np.ndarray,
+    mask: np.ndarray,
+    weights0: np.ndarray,
+    weight_decay: float,
+):
+    """Masked softmax CE + L2 term + reference-style accuracy.
+
+    Matches the fused kernel src/module.cu:484-524 (max-subtraction, mean over
+    the split's samples) plus finalize (src/gcn.cu:440-455: + wd·||W0||²/2) and
+    the accuracy trick (truth logit == row max counts as correct,
+    src/gcn.cu:264-289).
+    """
+    num_samples = int(mask.sum())
+    lmax = logits.max(axis=1, keepdims=True)
+    shifted = logits - lmax
+    lse = np.log(np.exp(shifted).sum(axis=1))
+    safe_labels = np.clip(labels, 0, None)
+    truth = shifted[np.arange(len(labels)), safe_labels]
+    ce = float((mask * (lse - truth)).sum() / num_samples)
+    loss = ce + weight_decay * float((weights0**2).sum()) / 2.0
+    correct = mask & (truth >= 0.0)
+    acc = float(correct.sum() / num_samples)
+    return loss, acc, ce
+
+
+def golden_grads(
+    weights: list[np.ndarray],
+    x: np.ndarray,
+    graph: HostCSR,
+    labels: np.ndarray,
+    mask: np.ndarray,
+    dropout_masks: list[np.ndarray] | None = None,
+    keep_probs: list[float] | None = None,
+):
+    """Full hand-written backward producing dCE/dW per layer (no L2 term —
+    the reference folds L2 into Adam, src/optim.cu:50-51)."""
+    L = len(weights)
+    logits, saved = golden_forward(weights, x, graph, dropout_masks, keep_probs)
+
+    num_samples = int(mask.sum())
+    lmax = logits.max(axis=1, keepdims=True)
+    e = np.exp(logits - lmax)
+    prob = e / e.sum(axis=1, keepdims=True)
+    onehot = np.zeros_like(prob)
+    safe_labels = np.clip(labels, 0, None)
+    onehot[np.arange(len(labels)), safe_labels] = 1.0
+    g = (mask[:, None] * (prob - onehot) / num_samples).astype(np.float32)
+
+    grads = [None] * L
+    for layer in reversed(range(L)):
+        if layer < L - 1:
+            g = np.where(saved["relu_mask"][layer], g, 0.0).astype(np.float32)
+        g = csr_matvec_dense(graph, g)  # Âᵀ=Â (symmetric)
+        a_in = saved["inputs"][layer]
+        grads[layer] = (a_in.T @ g).astype(np.float32)
+        if layer > 0:
+            g = (g @ weights[layer].T).astype(np.float32)
+            if dropout_masks is not None and dropout_masks[layer] is not None:
+                g = g * dropout_masks[layer] / np.float32(keep_probs[layer])
+    return grads, logits
+
+
+@dataclass
+class GoldenAdamState:
+    m: list[np.ndarray]
+    v: list[np.ndarray]
+    step: int = 0
+
+
+def golden_adam_step(
+    weights: list[np.ndarray],
+    grads: list[np.ndarray],
+    state: GoldenAdamState,
+    lr: float,
+    wd: float,
+    b1: float,
+    b2: float,
+    eps: float,
+    decay_flags: list[bool],
+):
+    """One Adam step matching src/optim.cu:42-62 exactly (float32 math,
+    step_size computed on host, eps outside the sqrt)."""
+    state.step += 1
+    t = state.step
+    step_size = np.float32(lr * np.sqrt(1.0 - b2**t) / (1.0 - b1**t))
+    new_weights = []
+    for i, (w, g) in enumerate(zip(weights, grads)):
+        g = g.astype(np.float32)
+        if decay_flags[i]:
+            g = g + np.float32(wd) * w
+        state.m[i] = np.float32(b1) * state.m[i] + np.float32(1 - b1) * g
+        state.v[i] = np.float32(b2) * state.v[i] + np.float32(1 - b2) * g * g
+        new_weights.append(
+            (w - step_size * state.m[i] / (np.sqrt(state.v[i]) + np.float32(eps))).astype(
+                np.float32
+            )
+        )
+    return new_weights

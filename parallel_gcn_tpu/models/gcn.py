@@ -1,0 +1,104 @@
+"""N-layer Graph Convolutional Network.
+
+Architecture (reference: src/gcn.cu:47-142, report eq. 1):
+
+    layer 0:      dropout → X·W0        → Â·(·) → ReLU
+    layer 1..L-2: dropout → H·Wi [+res] → Â·(·) → ReLU
+    layer L-1:    dropout → H·W_{L-1}   → Â·(·) → (logits → masked CE)
+
+Params are one pytree (a list of weight matrices, no biases — the reference has
+none). Glorot-uniform init with half-range sqrt(6/(rows+cols))
+(src/variable.cu:63-83), threefry keys standing in for the Philox pool.
+
+The optional residual connection mirrors -DRESIDUAL_CONNECTIONS
+(src/module.cu:566-593): inner layers with matching dims add the previous
+layer's activation after aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from parallel_gcn_tpu.data.graph import Graph
+from parallel_gcn_tpu.ops.dropout import dropout
+from parallel_gcn_tpu.ops.graphsum import graphsum
+from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
+
+
+def glorot(key: jax.Array, rows: int, cols: int, dtype=jnp.float32) -> jnp.ndarray:
+    r = (6.0 / (rows + cols)) ** 0.5
+    return jax.random.uniform(key, (rows, cols), dtype=dtype, minval=-r, maxval=r)
+
+
+def init_params(
+    key: jax.Array, input_dim: int, hidden_dims: Sequence[int], output_dim: int
+) -> list[jnp.ndarray]:
+    """One Glorot-initialized weight per layer (reference: src/gcn.cu:171-172)."""
+    dims = [input_dim, *hidden_dims, output_dim]
+    keys = jax.random.split(key, len(dims) - 1)
+    return [glorot(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
+
+
+@dataclass(frozen=True)
+class GCNModel:
+    """Static model description; ``apply`` is the pure forward function."""
+
+    n_layers: int
+    dropouts: tuple[float, ...]
+    residual: bool = False
+    backend: str = "auto"  # graphsum backend
+    edge_chunk: int = 0
+    dense_threshold: int = 8192
+    compute_dtype: str = "float32"
+    # matmul precision on TPU: "highest" = true f32 (reference parity);
+    # "default" = fast bf16 MXU passes. Irrelevant when compute_dtype=bfloat16.
+    precision: str = "highest"
+
+    def apply(
+        self,
+        weights: list[jnp.ndarray],
+        x: jnp.ndarray,
+        graph: Graph,
+        *,
+        training: bool,
+        key: jax.Array | None = None,
+    ) -> jnp.ndarray:
+        """Forward pass → logits [n_nodes, output_dim] (float32)."""
+        assert len(weights) == self.n_layers
+        dtype = jnp.dtype(self.compute_dtype)
+        h = x.astype(dtype)
+        if training and any(d > 0 for d in self.dropouts):
+            assert key is not None, "training forward needs a dropout key"
+            keys = jax.random.split(key, self.n_layers)
+        else:
+            keys = [None] * self.n_layers
+
+        prev = None
+        for layer in range(self.n_layers):
+            h = dropout(h, self.dropouts[layer], keys[layer], training=training)
+            h = feature_transform(h, weights[layer], precision=self.precision).astype(
+                dtype
+            )
+            h = graphsum(
+                h,
+                graph,
+                backend=self.backend,
+                edge_chunk=self.edge_chunk,
+                dense_threshold=self.dense_threshold,
+                precision=self.precision,
+            )
+            if (
+                self.residual
+                and 0 < layer < self.n_layers - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
+            if layer < self.n_layers - 1:
+                h = jax.nn.relu(h)
+                prev = h
+        return h.astype(jnp.float32)

@@ -1,0 +1,53 @@
+"""Fused masked softmax cross-entropy with accuracy.
+
+Reference: the fused kernel src/module.cu:484-524 computes, per labeled node,
+max-subtracted logits, log-sum-exp loss, and (when training) the softmax
+gradient in one pass; accuracy re-uses the max-subtraction ("truth logit == row
+max ⇒ correct", src/gcn.cu:264-289); finalize divides by the split's sample
+count and adds wd·||W0||²/2 (src/gcn.cu:440-455).
+
+Here the same fusion is expressed as one differentiable function — XLA fuses
+the elementwise chain, and autograd of this exact expression reproduces the
+reference's hand-written gradient ``(prob − onehot)·mask / num_samples``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_softmax_xent(
+    logits: jnp.ndarray,  # [N, C] float
+    labels: jnp.ndarray,  # [N] int32, -1 (or anything) on unlabeled rows
+    mask: jnp.ndarray,  # [N] bool — nodes of the current split
+    num_samples: jnp.ndarray | int,  # scalar: size of the split
+):
+    """Returns (mean_ce_loss, accuracy) over the masked nodes.
+
+    ``num_samples`` is passed separately (rather than ``mask.sum()``) to mirror
+    the reference's per-split sample counts (src/module.cu:552-562) and to keep
+    it a compile-time-friendly scalar under jit.
+    """
+    logits = logits.astype(jnp.float32)
+    lmax = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    shifted = logits - lmax
+    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    truth = jnp.take_along_axis(shifted, safe_labels[:, None], axis=-1)[:, 0]
+
+    maskf = mask.astype(jnp.float32)
+    denom = jnp.asarray(num_samples, dtype=jnp.float32)
+    loss = jnp.sum(maskf * (lse - truth)) / denom
+
+    # accuracy trick: after max-subtraction the truth logit is >= 0 iff it is
+    # the row max (src/gcn.cu:271-278 counts truth_logit < 0 as wrong).
+    correct = jnp.sum(maskf * (jax.lax.stop_gradient(truth) >= 0.0))
+    acc = correct / denom
+    return loss, acc
+
+
+def l2_penalty(w: jnp.ndarray) -> jnp.ndarray:
+    """Σw² (reference: get_l2_penalty warp-reduce, src/gcn.cu:230-260)."""
+    w = w.astype(jnp.float32)
+    return jnp.sum(w * w)

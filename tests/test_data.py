@@ -1,0 +1,92 @@
+"""Data-layer tests: CSR build, Â normalization, padding, real-dataset stats
+(validated against report p.10 Table 2 / SURVEY.md §6)."""
+
+import numpy as np
+import pytest
+
+from parallel_gcn_tpu.data.graph import (
+    add_self_loops_csr,
+    build_graph,
+    normalized_adjacency_values,
+    pad_to_multiple,
+    random_graph,
+)
+from parallel_gcn_tpu.data.parser import load_dataset
+from tests.conftest import has_dataset, requires_cora
+
+
+def test_self_loop_first_and_degrees():
+    # 3-node path graph: 0-1, 1-2
+    csr = add_self_loops_csr([
+        np.array([1], dtype=np.int32),
+        np.array([0, 2], dtype=np.int32),
+        np.array([1], dtype=np.int32),
+    ])
+    assert csr.indptr.tolist() == [0, 2, 5, 7]
+    # self-loop is the first entry of each row (src/parser.cpp:29-31)
+    assert csr.indices[0] == 0 and csr.indices[2] == 1 and csr.indices[5] == 2
+    # degrees incl self-loop: 2, 3, 2
+    deg = np.diff(csr.indptr)
+    assert deg.tolist() == [2, 3, 2]
+    # Â value for edge (0,1): 1/sqrt(2*3)
+    np.testing.assert_allclose(csr.values[1], 1 / np.sqrt(6), rtol=1e-6)
+    np.testing.assert_allclose(csr.values[0], 1 / 2, rtol=1e-6)
+
+
+def test_normalization_symmetric():
+    csr, _ = random_graph(64, 8, seed=3)
+    dense = csr.to_dense()
+    np.testing.assert_allclose(dense, dense.T, atol=1e-7)
+
+
+def test_row_stochasticity_of_unnormalized():
+    # sanity: values recomputed from indptr/indices match stored ones
+    csr, _ = random_graph(40, 5, seed=1)
+    vals = normalized_adjacency_values(csr.indptr, csr.indices)
+    np.testing.assert_allclose(vals, csr.values, rtol=1e-7)
+
+
+def test_padding_shapes():
+    csr, _ = random_graph(50, 6, seed=0)
+    g = build_graph(csr, node_pad=8, edge_pad=512, dense=True)
+    assert g.n_nodes == pad_to_multiple(50, 8) == 56
+    assert g.row.shape[0] % 512 == 0
+    # padding entries are zero-valued and in-bounds
+    assert g.val[csr.nnz :].max() == 0.0
+    assert int(g.row.max()) < g.n_nodes and int(g.col.max()) < g.n_nodes
+    # dense adj agrees with CSR expansion
+    np.testing.assert_allclose(
+        np.asarray(g.adj)[:50, :50], csr.to_dense(), atol=1e-7
+    )
+
+
+@pytest.mark.parametrize(
+    "name,nodes,edges,classes,features",
+    [
+        ("cora", 2708, 5429, 7, 1433),
+        ("citeseer", 3327, 4732, 6, 3703),
+        ("pubmed", 19717, 44338, 3, 500),
+    ],
+)
+def test_real_dataset_stats(name, nodes, edges, classes, features):
+    """Counts from report p.10 Table 2. The .graph files store each undirected
+    edge in both rows, plus one self-loop per node."""
+    if not has_dataset(name):
+        pytest.skip(f"{name} dataset not available")
+    ds = load_dataset(name, use_native=False)
+    assert ds.n_nodes == nodes
+    assert ds.output_dim == classes
+    assert ds.input_dim == features
+    # nnz = 2*edges + n self-loops (some datasets store a handful of
+    # duplicate/directed edges, so allow exact match or small slack)
+    expected = 2 * edges + nodes
+    assert abs(ds.graph.nnz - expected) <= 0.01 * expected
+    assert ds.train_dim > 0 and ds.val_dim > 0 and ds.test_dim > 0
+    assert ds.features.shape == (nodes, features)
+
+
+@requires_cora
+def test_binarize_features():
+    ds = load_dataset("cora", binarize_features=True, use_native=False)
+    vals = ds.feature_csr.values
+    assert (vals == 1.0).all()

@@ -1,0 +1,205 @@
+"""Model + optimizer + end-to-end training tests against the golden oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_gcn_tpu.config import AdamConfig, Config, GCNConfig, TPUConfig, TrainConfig
+from parallel_gcn_tpu.data.graph import build_graph, random_graph
+from parallel_gcn_tpu.data.parser import DeviceDataset
+from parallel_gcn_tpu.golden import (
+    GoldenAdamState,
+    glorot_range,
+    golden_adam_step,
+    golden_forward,
+    golden_grads,
+)
+from parallel_gcn_tpu.models.gcn import GCNModel, glorot, init_params
+from parallel_gcn_tpu.ops.loss import masked_softmax_xent
+from parallel_gcn_tpu.optim import adam_step, init_adam
+from parallel_gcn_tpu.train import fit
+
+
+def _weights_np(key, dims):
+    ws = init_params(key, dims[0], dims[1:-1], dims[-1])
+    return ws, [np.asarray(w) for w in ws]
+
+
+def _synthetic(n=150, f=12, c=3, seed=0):
+    """A separable synthetic node-classification problem: labels form graph
+    communities (edges are mostly intra-class), features leak the label — so
+    both the aggregation and the transform carry signal."""
+    from parallel_gcn_tpu.data.graph import add_self_loops_csr
+
+    rng = np.random.default_rng(seed)
+    labels = (np.arange(n) * c // n).astype(np.int32)  # contiguous communities
+    nb = {i: set() for i in range(n)}
+    for _ in range(n * 3):
+        a = int(rng.integers(0, n))
+        # 90% intra-community edges
+        pool = np.where(labels == labels[a])[0] if rng.random() < 0.9 else np.arange(n)
+        b = int(pool[rng.integers(0, len(pool))])
+        if a != b:
+            nb[a].add(b)
+            nb[b].add(a)
+    csr = add_self_loops_csr(
+        [np.array(sorted(nb[i]), dtype=np.int32) for i in range(n)]
+    )
+    x = rng.standard_normal((n, f)).astype(np.float32) * 0.2
+    x[np.arange(n), labels] += 2.0  # leak the label into the features
+    split = rng.choice([1, 2, 3], size=n, p=[0.5, 0.25, 0.25]).astype(np.int32)
+    return csr, x, labels, split
+
+
+@pytest.mark.parametrize("n_layers", [2, 3])
+def test_forward_matches_golden(n_layers, small_graph, rng):
+    csr, graph = small_graph
+    dims = [12] + [16] * (n_layers - 1) + [4]
+    ws, ws_np = _weights_np(jax.random.PRNGKey(0), dims)
+    x = rng.standard_normal((graph.n_nodes, dims[0])).astype(np.float32)
+
+    model = GCNModel(n_layers=n_layers, dropouts=(0.0,) * n_layers, backend="segment")
+    logits = np.asarray(model.apply(ws, jnp.asarray(x), graph, training=False))
+    expected, _ = golden_forward(ws_np, x[: csr.n_rows], csr)
+    np.testing.assert_allclose(logits[: csr.n_rows], expected, rtol=5e-5, atol=5e-5)
+
+
+def test_grads_match_golden(small_graph, rng):
+    csr, graph = small_graph
+    n = csr.n_rows
+    dims = [10, 16, 4]
+    ws, ws_np = _weights_np(jax.random.PRNGKey(1), dims)
+    x = rng.standard_normal((graph.n_nodes, dims[0])).astype(np.float32)
+    x[n:] = 0
+    labels = rng.integers(0, 4, size=graph.n_nodes).astype(np.int32)
+    mask_np = np.zeros(graph.n_nodes, dtype=bool)
+    mask_np[: n // 2] = True
+    num = int(mask_np.sum())
+
+    model = GCNModel(n_layers=2, dropouts=(0.0, 0.0), backend="segment")
+
+    def loss_fn(ws):
+        logits = model.apply(ws, jnp.asarray(x), graph, training=False)
+        loss, _ = masked_softmax_xent(
+            logits, jnp.asarray(labels), jnp.asarray(mask_np), num
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(ws)
+    g_golden, _ = golden_grads(
+        ws_np, x[:n], csr, labels[:n], mask_np[:n]
+    )
+    for g, gg in zip(grads, g_golden):
+        np.testing.assert_allclose(np.asarray(g), gg, rtol=1e-4, atol=1e-5)
+
+
+def test_adam_matches_golden(rng):
+    ws_np = [rng.standard_normal((8, 6)).astype(np.float32) for _ in range(2)]
+    gs_np = [rng.standard_normal((8, 6)).astype(np.float32) for _ in range(2)]
+    ws = [jnp.asarray(w) for w in ws_np]
+    state = init_adam(ws)
+    gstate = GoldenAdamState(
+        m=[np.zeros_like(w) for w in ws_np], v=[np.zeros_like(w) for w in ws_np]
+    )
+    hp = dict(lr=0.01, wd=5e-4, b1=0.9, b2=0.999, eps=1e-8)
+    cur, gcur = ws, ws_np
+    for _ in range(3):
+        cur, state = adam_step(
+            cur, [jnp.asarray(g) for g in gs_np], state,
+            learning_rate=hp["lr"], weight_decay=hp["wd"],
+            beta1=hp["b1"], beta2=hp["b2"], eps=hp["eps"],
+        )
+        gcur = golden_adam_step(
+            gcur, gs_np, gstate, hp["lr"], hp["wd"], hp["b1"], hp["b2"], hp["eps"],
+            decay_flags=[True, False],
+        )
+    for w, gw in zip(cur, gcur):
+        np.testing.assert_allclose(np.asarray(w), gw, rtol=1e-5, atol=1e-6)
+
+
+def test_glorot_range_and_distribution():
+    key = jax.random.PRNGKey(0)
+    w = np.asarray(glorot(key, 100, 50))
+    r = glorot_range(100, 50)
+    assert np.abs(w).max() <= r
+    assert np.abs(w).max() > 0.9 * r  # actually fills the range
+    assert abs(w.mean()) < 0.01
+
+
+def _fit_synthetic(mode, backend="segment", epochs=60, n_layers=2,
+                   hidden_dims=(16,), dropouts=(0.2, 0.2), **gcn_kw):
+    csr, x, labels, split = _synthetic()
+    graph = build_graph(csr, dense=(backend == "dense"))
+    n_pad = graph.n_nodes
+    xp = np.zeros((n_pad, x.shape[1]), np.float32)
+    xp[: csr.n_rows] = x
+    lp = np.full(n_pad, -1, np.int32)
+    lp[: csr.n_rows] = labels
+    sp = np.zeros(n_pad, np.int32)
+    sp[: csr.n_rows] = split
+    dds = DeviceDataset(
+        graph=graph, x=jnp.asarray(xp), labels=jnp.asarray(lp), split=jnp.asarray(sp),
+        n_real_nodes=csr.n_rows, input_dim=x.shape[1], output_dim=3,
+        split_counts={s: int((split == s).sum()) for s in (1, 2, 3)},
+    )
+    cfg = Config(
+        gcn=GCNConfig(n_layers=n_layers, hidden_dims=hidden_dims,
+                      dropouts=dropouts, epochs=epochs, early_stopping=0,
+                      **gcn_kw),
+        adam=AdamConfig(),
+        tpu=TPUConfig(backend=backend, seed=7),
+        train=TrainConfig(verbose=False, mode=mode),
+    )
+    return fit(cfg, dds)
+
+
+@pytest.mark.parametrize("mode", ["eager", "scan"])
+def test_end_to_end_learns(mode):
+    result = _fit_synthetic(mode)
+    assert result.history[0, 0] > result.history[-1, 0]  # train loss fell
+    assert result.test_acc > 0.8  # separable task
+    assert result.epochs_run == 60
+
+
+def test_scan_and_eager_agree():
+    r_scan = _fit_synthetic("scan", epochs=20)
+    r_eager = _fit_synthetic("eager", epochs=20)
+    np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(r_scan.test_acc, r_eager.test_acc, atol=1e-6)
+
+
+def test_residual_runs():
+    result = _fit_synthetic("scan", epochs=10, n_layers=3,
+                            hidden_dims=(16, 16), dropouts=(0.1, 0.1, 0.1),
+                            residual=True)
+    assert np.isfinite(result.history).all()
+
+
+def test_early_stopping_triggers():
+    csr, x, labels, split = _synthetic()
+    graph = build_graph(csr)
+    n_pad = graph.n_nodes
+    xp = np.zeros((n_pad, x.shape[1]), np.float32)
+    xp[: csr.n_rows] = x
+    lp = np.full(n_pad, -1, np.int32)
+    lp[: csr.n_rows] = labels
+    sp = np.zeros(n_pad, np.int32)
+    sp[: csr.n_rows] = split
+    dds = DeviceDataset(
+        graph=graph, x=jnp.asarray(xp), labels=jnp.asarray(lp), split=jnp.asarray(sp),
+        n_real_nodes=csr.n_rows, input_dim=x.shape[1], output_dim=3,
+        split_counts={s: int((split == s).sum()) for s in (1, 2, 3)},
+    )
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.5, 0.5),
+                      epochs=500, early_stopping=5),
+        tpu=TPUConfig(backend="segment", seed=3),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    result = fit(cfg, dds)
+    assert result.epochs_run < 500  # early stopping fired
+    # the early-stop rule: last val loss > mean of last k (incl current)
+    k = 5
+    hist = result.history[:, 2]
+    assert hist[-1] > hist[-k:].mean() - 1e-6
