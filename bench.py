@@ -1,0 +1,119 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Metric: cora average epoch time (train fwd+bwd + Adam + full val eval per
+epoch, 100 epochs, tuned config) on one chip, fused scan mode — the same
+quantity the reference's performance harness measures (test/performance_gpu.cpp,
+TMR_TRAIN wraps train_epoch()+eval(2), src/gcn.cu:363-374).
+
+vs_baseline = reference GPU (Tesla T4) epoch time / ours, so >1 means faster
+than the reference (cora baseline: 0.277 ms, report p.12 Table 3 / BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = {"cora": 0.277, "citeseer": 0.325, "pubmed": 1.418, "reddit": 231.518}
+EPOCHS = 100
+REPS = 3
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def bench_dataset(name: str) -> dict:
+    import jax
+
+    from parallel_gcn_tpu.config import default_params_path, load_config
+    from parallel_gcn_tpu.data.parser import load_dataset, to_device
+    from parallel_gcn_tpu.models.gcn import init_params
+    from parallel_gcn_tpu.optim import init_adam
+    from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn
+
+    cfg = load_config(default_params_path(name))
+    cfg.gcn.epochs = EPOCHS
+    cfg.gcn.early_stopping = 0
+    cfg.train.verbose = False
+
+    ds = load_dataset(name, binarize_features=cfg.data.binarize_features)
+    dds = to_device(
+        ds,
+        node_pad=cfg.tpu.node_pad,
+        dense=(cfg.tpu.backend in ("auto", "dense"))
+        and ds.n_nodes <= cfg.tpu.dense_threshold,
+    )
+    model = build_model(cfg, dds)
+    run = _make_scan_run(model, cfg, dds)
+    log(f"[{name}] backend={model.backend} epochs={EPOCHS} device={jax.devices()[0]}")
+
+    key = jax.random.PRNGKey(cfg.tpu.seed)
+
+    def once():
+        w = init_params(
+            jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
+            cfg.gcn.hidden_dims, dds.output_dim,
+        )
+        opt = init_adam(w)
+        return run(w, opt, key)
+
+    out = once()
+    jax.block_until_ready(out[2])  # compile + warm up
+
+    times = []
+    final = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = once()
+        jax.block_until_ready(out[2])
+        times.append((time.perf_counter() - t0) / EPOCHS)
+        final = out
+
+    # test accuracy from the final run's weights
+    from parallel_gcn_tpu.data.parser import TEST
+
+    test_fn = make_eval_fn(model, cfg, dds, TEST)
+    test_loss, test_acc = (float(v) for v in test_fn(final[0]))
+
+    epoch_ms = min(times) * 1e3
+    metrics = np.asarray(final[2])
+    log(
+        f"[{name}] epoch={epoch_ms:.4f} ms (reps: "
+        f"{[f'{t * 1e3:.4f}' for t in times]}), "
+        f"final val_acc={metrics[-1, 3]:.4f}, test_acc={test_acc:.4f}"
+    )
+    return {
+        "epoch_ms": epoch_ms,
+        "test_acc": test_acc,
+        "vs_baseline": BASELINE_MS[name] / epoch_ms,
+    }
+
+
+def main() -> int:
+    dataset = sys.argv[1] if len(sys.argv) > 1 else "cora"
+    try:
+        r = bench_dataset(dataset)
+        result = {
+            "metric": f"{dataset}_epoch_time",
+            "value": round(r["epoch_ms"], 4),
+            "unit": "ms",
+            "vs_baseline": round(r["vs_baseline"], 3),
+        }
+    except FileNotFoundError as e:
+        log(f"dataset unavailable ({e}); benchmarking synthetic fallback")
+        result = {
+            "metric": f"{dataset}_epoch_time",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+        }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,176 @@
+"""Multi-chip training step via shard_map over a device mesh.
+
+TPU-native replacement for what the reference does not have (it is single-GPU;
+SURVEY.md §2.4): the graph's rows are partitioned across the ``nodes`` mesh
+axis, each device aggregates its own rows' edges after an ``all_gather`` of
+source features over ICI, weight gradients are ``psum``-reduced, and the Adam
+step runs replicated. The reference's intra-device stream/event overlap
+(src/gcn.cu:5-11) maps to XLA's async collectives + latency-hiding scheduler.
+
+Works on a virtual CPU mesh (tests, dryrun) and on real TPU slices unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from parallel_gcn_tpu.config import Config
+from parallel_gcn_tpu.data.parser import TRAIN, VAL, Dataset
+from parallel_gcn_tpu.ops.dropout import dropout
+from parallel_gcn_tpu.ops.loss import l2_penalty
+from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
+from parallel_gcn_tpu.optim import adam_step
+from parallel_gcn_tpu.parallel.partition import ShardedGraph
+
+AXIS = "nodes"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
+    """Pad host arrays to the sharded node count; returns numpy arrays shaped
+    for row-sharding over the mesh."""
+    n_pad = sgraph.n_nodes_pad
+    x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
+    x[: ds.n_nodes] = ds.features
+    labels = np.full(n_pad, -1, dtype=np.int32)
+    labels[: ds.n_nodes] = ds.labels
+    split = np.zeros(n_pad, dtype=np.int32)
+    split[: ds.n_nodes] = ds.split
+    return x, labels, split
+
+
+def graphsum_dist(x_local, row_local, col_global, val, n_local, axis=AXIS):
+    """Distributed Â·x: gather remote source features over ICI, aggregate the
+    local rows' edges. The halo exchange is an all_gather for now — XLA
+    overlaps it with the preceding matmul; a ppermute ring with double-buffered
+    halos is the planned upgrade for graphs whose gathered features exceed HBM.
+    """
+    x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    gathered = val[:, None].astype(x_local.dtype) * x_full[col_global]
+    return jax.ops.segment_sum(
+        gathered, row_local, num_segments=n_local, indices_are_sorted=True
+    )
+
+
+def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=AXIS):
+    """CE summed over local labeled nodes, psum'd across the mesh, divided by
+    the global split size. Also returns the reference-style correct count."""
+    lmax = jax.lax.stop_gradient(jnp.max(logits_local, axis=-1, keepdims=True))
+    shifted = logits_local - lmax
+    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    safe = jnp.clip(labels_local, 0, logits_local.shape[-1] - 1)
+    truth = jnp.take_along_axis(shifted, safe[:, None], axis=-1)[:, 0]
+    maskf = mask_local.astype(jnp.float32)
+    local_sum = jnp.sum(maskf * (lse - truth))
+    loss = jax.lax.psum(local_sum, axis) / jnp.float32(num_samples)
+    correct = jax.lax.psum(
+        jnp.sum(maskf * (jax.lax.stop_gradient(truth) >= 0.0)), axis
+    )
+    return loss, correct / jnp.float32(num_samples)
+
+
+def make_parallel_epoch_step(
+    cfg: Config,
+    mesh: Mesh,
+    sgraph: ShardedGraph,
+    split_counts: dict,
+):
+    """Build the jitted multi-chip epoch step.
+
+    Signature: (weights, opt_state, key, x, labels, split) ->
+               (weights', opt_state', key', metrics[4])
+    where x/labels/split are row-sharded over the mesh and weights/opt are
+    replicated.
+    """
+    adam = cfg.adam
+    wd = adam.weight_decay
+    dropouts = tuple(cfg.gcn.dropouts)
+    n_layers = cfg.gcn.n_layers
+    n_local = sgraph.n_local
+    n_train = split_counts[TRAIN]
+    n_val = split_counts[VAL]
+    precision = cfg.tpu.matmul_precision
+
+    def forward(weights, x_local, rowl, colg, val, training, key):
+        h = x_local
+        if training:
+            # per-device independent dropout masks over the local rows
+            key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+            keys = jax.random.split(key, n_layers)
+        else:
+            keys = [None] * n_layers
+        for layer in range(n_layers):
+            h = dropout(h, dropouts[layer], keys[layer], training=training)
+            h = feature_transform(h, weights[layer], precision=precision)
+            h = graphsum_dist(h, rowl, colg, val, n_local)
+            if layer < n_layers - 1:
+                h = jax.nn.relu(h)
+        return h
+
+    def step(weights, opt_state, key, x_local, labels_local, split_local,
+             rowl, colg, val):
+        # graph slabs arrive with a leading size-1 device axis; drop it
+        rowl, colg, val = rowl[0], colg[0], val[0]
+        key, dkey = jax.random.split(key)
+        train_mask = split_local == TRAIN
+
+        def loss_fn(w):
+            logits = forward(w, x_local, rowl, colg, val, True, dkey)
+            loss, acc = _masked_ce_local(logits, labels_local, train_mask, n_train)
+            return loss, acc
+
+        (ce, train_acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(weights)
+        grads = jax.lax.psum(grads, AXIS)
+        train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+
+        weights, opt_state = adam_step(
+            weights, grads, opt_state,
+            learning_rate=adam.learning_rate, weight_decay=wd,
+            beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
+        )
+
+        val_logits = forward(weights, x_local, rowl, colg, val, False, None)
+        val_ce, val_acc = _masked_ce_local(
+            val_logits, labels_local, split_local == VAL, n_val
+        )
+        val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
+        return weights, opt_state, key, metrics
+
+    sharded_step = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),  # weights, opt, key: replicated
+            P(AXIS, None), P(AXIS), P(AXIS),  # x, labels, split: row-sharded
+            P(AXIS, None), P(AXIS, None), P(AXIS, None),  # graph slabs
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+
+def device_put_sharded_inputs(mesh: Mesh, sgraph: ShardedGraph, x, labels, split):
+    """Place the row-sharded arrays on the mesh."""
+    row_sh = NamedSharding(mesh, P(AXIS))
+    mat_sh = NamedSharding(mesh, P(AXIS, None))
+    return (
+        jax.device_put(x, mat_sh),
+        jax.device_put(labels, row_sh),
+        jax.device_put(split, row_sh),
+        jax.device_put(sgraph.row_local, mat_sh),
+        jax.device_put(sgraph.col, mat_sh),
+        jax.device_put(sgraph.val, mat_sh),
+    )

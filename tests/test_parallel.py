@@ -1,0 +1,146 @@
+"""Multi-chip tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_gcn_tpu.config import AdamConfig, Config, GCNConfig, TPUConfig, TrainConfig
+from parallel_gcn_tpu.data.graph import build_graph, random_graph
+from parallel_gcn_tpu.data.parser import Dataset, DeviceDataset
+from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.optim import init_adam
+from parallel_gcn_tpu.parallel.partition import partition_graph
+from parallel_gcn_tpu.parallel.train_parallel import (
+    AXIS,
+    device_put_sharded_inputs,
+    graphsum_dist,
+    make_mesh,
+    make_parallel_epoch_step,
+    shard_dataset,
+)
+from parallel_gcn_tpu.train import make_epoch_step, build_model
+from jax.sharding import PartitionSpec as P
+
+
+def _dataset(n=200, f=12, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    csr, _ = random_graph(n, 6, seed=seed)
+    labels = rng.integers(0, c, n).astype(np.int32)
+    feats = rng.standard_normal((n, f)).astype(np.float32)
+    feats[np.arange(n), labels] += 2.0
+    split = rng.choice([1, 2, 3], size=n, p=[0.5, 0.25, 0.25]).astype(np.int32)
+    return Dataset(
+        name="synthetic", graph=csr, feature_csr=None, features=feats,
+        labels=labels, split=split, n_nodes=n, input_dim=f, output_dim=c,
+    )
+
+
+def test_partition_covers_all_edges():
+    csr, _ = random_graph(100, 5, seed=2)
+    sg = partition_graph(csr, 4)
+    assert sg.n_nodes_pad >= csr.n_rows
+    assert (sg.val != 0).sum() == csr.nnz
+    # reconstruct global COO and compare against the CSR expansion
+    rows_g, cols_g, vals_g = [], [], []
+    for d in range(4):
+        live = sg.val[d] != 0
+        rows_g.append(sg.row_local[d][live] + d * sg.n_local)
+        cols_g.append(sg.col[d][live])
+        vals_g.append(sg.val[d][live])
+    rows_g = np.concatenate(rows_g)
+    order = np.argsort(rows_g, kind="stable")
+    np.testing.assert_array_equal(rows_g[order], csr.row_ids())
+    np.testing.assert_array_equal(np.concatenate(cols_g)[order], csr.indices)
+    np.testing.assert_allclose(np.concatenate(vals_g)[order], csr.values)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_graphsum_dist_matches_single_device(n_dev):
+    csr, _ = random_graph(96, 6, seed=1)
+    sg = partition_graph(csr, n_dev)
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((sg.n_nodes_pad, 16)).astype(np.float32)
+
+    # single-device expected
+    g1 = build_graph(csr, n_nodes_pad=sg.n_nodes_pad)
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda x, r, c, v: graphsum_dist(x, r[0], c[0], v[0], sg.n_local),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+            out_specs=P(AXIS, None),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(fn(x, sg.row_local, sg.col, sg.val))
+    np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_parallel_training_learns_and_matches_metrics():
+    """8-way node-parallel training must produce the same metrics trajectory as
+    single-device training (identical weights, no dropout)."""
+    ds = _dataset()
+    n_dev = 8
+    sg = partition_graph(ds.graph, n_dev)
+    mesh = make_mesh(n_dev)
+    x, labels, split = shard_dataset(ds, sg)
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                      epochs=10, early_stopping=0),
+        adam=AdamConfig(),
+        tpu=TPUConfig(backend="segment", seed=5),
+        train=TrainConfig(verbose=False),
+    )
+    step = make_parallel_epoch_step(cfg, mesh, sg, {1: int((ds.split == 1).sum()),
+                                                    2: int((ds.split == 2).sum()),
+                                                    3: int((ds.split == 3).sum())})
+    inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
+
+    key = jax.random.PRNGKey(0)
+    w = init_params(jax.random.PRNGKey(42), ds.input_dim, (16,), ds.output_dim)
+    w_single = [jnp.array(v) for v in w]
+    opt = init_adam(w)
+
+    par_metrics = []
+    for _ in range(10):
+        w, opt, key, m = step(w, opt, key, *inputs)
+        par_metrics.append(np.asarray(m))
+    par_metrics = np.stack(par_metrics)
+
+    # single-device run with identical init (same graph padded to same size)
+    g1 = build_graph(ds.graph, n_nodes_pad=sg.n_nodes_pad)
+    xp = np.zeros((sg.n_nodes_pad, ds.input_dim), np.float32)
+    xp[: ds.n_nodes] = ds.features
+    lp = np.full(sg.n_nodes_pad, -1, np.int32)
+    lp[: ds.n_nodes] = ds.labels
+    sp = np.zeros(sg.n_nodes_pad, np.int32)
+    sp[: ds.n_nodes] = ds.split
+    dds = DeviceDataset(
+        graph=g1, x=jnp.asarray(xp), labels=jnp.asarray(lp), split=jnp.asarray(sp),
+        n_real_nodes=ds.n_nodes, input_dim=ds.input_dim, output_dim=ds.output_dim,
+        split_counts={s: int((ds.split == s).sum()) for s in (1, 2, 3)},
+    )
+    model = build_model(cfg, dds)
+    sstep = make_epoch_step(model, cfg, dds)
+    opt1 = init_adam(w_single)
+    key1 = jax.random.PRNGKey(0)
+    single_metrics = []
+    for _ in range(10):
+        w_single, opt1, key1, m = sstep(w_single, opt1, key1)
+        single_metrics.append(np.asarray(m))
+    single_metrics = np.stack(single_metrics)
+
+    # losses track tightly; accuracies may flip a borderline sample
+    np.testing.assert_allclose(
+        par_metrics[:, [0, 2]], single_metrics[:, [0, 2]], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        par_metrics[:, [1, 3]], single_metrics[:, [1, 3]], atol=0.02
+    )
+    assert par_metrics[-1, 0] < par_metrics[0, 0]  # learning
