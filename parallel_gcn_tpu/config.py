@@ -109,6 +109,7 @@ class TPUConfig:
     backend: str = "auto"  # auto | dense | segment | bcsr (Pallas)
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
+    dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
     edge_chunk: int = 0  # 0 = auto from memory budget
     dense_threshold: int = 8192  # use dense Â·X below this many (padded) nodes
     node_pad: int = 8  # pad nodes to a multiple of this (TPU sublane)
@@ -152,6 +153,7 @@ _KEYMAP = {
     "backend": ("tpu", "backend"),
     "compute_dtype": ("tpu", "compute_dtype"),
     "matmul_precision": ("tpu", "matmul_precision"),
+    "dropout_impl": ("tpu", "dropout_impl"),
     "edge_chunk": ("tpu", "edge_chunk"),
     "dense_threshold": ("tpu", "dense_threshold"),
     "binarize_features": ("data", "binarize_features"),

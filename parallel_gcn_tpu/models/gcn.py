@@ -57,6 +57,19 @@ class GCNModel:
     # matmul precision on TPU: "highest" = true f32 (reference parity);
     # "default" = fast bf16 MXU passes. Irrelevant when compute_dtype=bfloat16.
     precision: str = "highest"
+    # dropout implementation: "threefry" (jax.random, any backend) or "pallas"
+    # (TPU hardware PRNG kernel, ops/pallas_dropout.py — the analog of the
+    # reference's hand-written Philox kernel, src/module.cu:16-63)
+    dropout_impl: str = "threefry"
+
+    def _dropout(self, h, rate, key, training):
+        if not training or rate <= 0.0:
+            return h
+        if self.dropout_impl == "pallas":
+            from parallel_gcn_tpu.ops.pallas_dropout import dropout_pallas, key_to_seed
+
+            return dropout_pallas(h, key_to_seed(key), rate)
+        return dropout(h, rate, key, training=training)
 
     def apply(
         self,
@@ -79,7 +92,7 @@ class GCNModel:
 
         prev = None
         for layer in range(self.n_layers):
-            h = dropout(h, self.dropouts[layer], keys[layer], training=training)
+            h = self._dropout(h, self.dropouts[layer], keys[layer], training)
             h = feature_transform(h, weights[layer], precision=self.precision).astype(
                 dtype
             )

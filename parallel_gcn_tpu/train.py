@@ -53,6 +53,9 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
         backend = "dense" if (
             dds.graph.adj is not None and dds.graph.n_nodes <= cfg.tpu.dense_threshold
         ) else "segment"
+    dropout_impl = cfg.tpu.dropout_impl
+    if dropout_impl == "auto":
+        dropout_impl = "threefry" if jax.default_backend() == "cpu" else "pallas"
     return GCNModel(
         n_layers=cfg.gcn.n_layers,
         dropouts=tuple(cfg.gcn.dropouts),
@@ -62,6 +65,7 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
         dense_threshold=cfg.tpu.dense_threshold,
         compute_dtype=cfg.tpu.compute_dtype,
         precision=cfg.tpu.matmul_precision,
+        dropout_impl=dropout_impl,
     )
 
 
