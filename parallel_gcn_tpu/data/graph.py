@@ -46,6 +46,7 @@ class Graph:
     col: jnp.ndarray  # int32 [n_edges_pad]
     val: jnp.ndarray  # float32 [n_edges_pad]
     adj: jnp.ndarray | None  # float32 [n_nodes, n_nodes] or None
+    bcsr: "object | None"  # ops.pallas_bcsr.BCSR tile pack or None
     n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded
     n_real_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_real_edges: int = dataclasses.field(metadata=dict(static=True))
@@ -118,12 +119,17 @@ def build_graph(
     node_pad: int = 8,
     edge_pad: int = 512,
     dense: bool = False,
+    bcsr: bool = False,
     n_nodes_pad: int | None = None,
 ) -> Graph:
     """Pad a host CSR into the static-shaped device Graph.
 
     Padding edges get val=0 and row=col=n_nodes_pad-1 (in-bounds, harmless).
+    ``bcsr=True`` additionally packs Â into 128×128 MXU tiles (nodes are then
+    padded to a multiple of 128).
     """
+    if bcsr:
+        node_pad = max(node_pad, 128)
     n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
     e_pad = pad_to_multiple(max(csr.nnz, 1), edge_pad)
 
@@ -140,11 +146,19 @@ def build_graph(
         adj_np[row[: csr.nnz], col[: csr.nnz]] = val[: csr.nnz]
         adj = jnp.asarray(adj_np)
 
+    bcsr_pack = None
+    if bcsr:
+        from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
+
+        bcsr_pack = build_bcsr(row[: csr.nnz], col[: csr.nnz], val[: csr.nnz], n_pad)
+        assert bcsr_pack.n_nodes == n_pad
+
     return Graph(
         row=jnp.asarray(row),
         col=jnp.asarray(col),
         val=jnp.asarray(val),
         adj=adj,
+        bcsr=bcsr_pack,
         n_nodes=n_pad,
         n_real_nodes=csr.n_rows,
         n_real_edges=csr.nnz,

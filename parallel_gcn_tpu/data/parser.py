@@ -213,12 +213,17 @@ def to_device(
     *,
     node_pad: int = 8,
     dense: bool = False,
+    bcsr: bool = False,
     n_nodes_pad: int | None = None,
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
+    if bcsr:
+        node_pad = max(node_pad, 128)
     n_pad = n_nodes_pad or pad_to_multiple(ds.n_nodes, node_pad)
-    graph = build_graph(ds.graph, node_pad=node_pad, dense=dense, n_nodes_pad=n_pad)
+    graph = build_graph(
+        ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, n_nodes_pad=n_pad
+    )
 
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
     x[: ds.n_nodes] = ds.features

@@ -1,0 +1,105 @@
+"""Graph reordering for block-sparse locality.
+
+A GCN is permutation-equivariant, so we may relabel nodes freely before
+training; a bandwidth-reducing order concentrates edges near the diagonal and
+makes 128×128 tiles of Â dense enough for the MXU block-sparse kernel
+(ops/pallas_bcsr.py). This plays the role the reference's per-dataset CUDA
+launch tuning plays (test/performance_gpu.cpp:37-49): a host-side, per-dataset
+preprocessing step that buys kernel efficiency.
+
+The ordering is pseudo-RCM: level-synchronous BFS from a minimum-degree seed,
+nodes within each frontier sorted by degree, result reversed (Cuthill-McKee
+semantics, vectorized per level so reddit-scale graphs stay fast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parallel_gcn_tpu.data.graph import HostCSR, normalized_adjacency_values
+
+
+def rcm_permutation(csr: HostCSR) -> np.ndarray:
+    """Return ``perm`` with new_id = perm_inverse[old_id]; ``perm[i]`` is the
+    old id placed at new position i."""
+    n = csr.n_rows
+    deg = np.diff(csr.indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    indptr, indices = csr.indptr, csr.indices
+
+    remaining = np.argsort(deg, kind="stable")
+    rem_idx = 0
+    while pos < n:
+        # next unvisited min-degree seed
+        while rem_idx < len(remaining) and visited[remaining[rem_idx]]:
+            rem_idx += 1
+        seed = remaining[rem_idx]
+        visited[seed] = True
+        order[pos] = seed
+        pos += 1
+        frontier = np.array([seed], dtype=np.int64)
+        while len(frontier):
+            # gather all neighbors of the frontier at once
+            starts = indptr[frontier]
+            ends = indptr[frontier + 1]
+            counts = (ends - starts).astype(np.int64)
+            if counts.sum() == 0:
+                break
+            flat = np.concatenate(
+                [indices[s:e] for s, e in zip(starts, ends)]
+            ).astype(np.int64)
+            nxt = np.unique(flat)
+            nxt = nxt[~visited[nxt]]
+            if len(nxt) == 0:
+                break
+            nxt = nxt[np.argsort(deg[nxt], kind="stable")]
+            visited[nxt] = True
+            order[pos : pos + len(nxt)] = nxt
+            pos += len(nxt)
+            frontier = nxt
+    return order[::-1].copy()  # reverse Cuthill-McKee
+
+
+def permute_csr(csr: HostCSR, perm: np.ndarray) -> HostCSR:
+    """Relabel nodes: new node i is old node perm[i]. Neighbor lists are
+    re-sorted; Â values are recomputed (degrees are permutation-invariant, so
+    the values match the reference formula on the relabeled graph)."""
+    n = csr.n_rows
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+
+    old_rows = csr.row_ids().astype(np.int64)
+    new_rows = inv[old_rows]
+    new_cols = inv[csr.indices.astype(np.int64)]
+    order = np.lexsort((new_cols, new_rows))
+    new_rows = new_rows[order]
+    new_cols = new_cols[order]
+
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, new_rows + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    values = normalized_adjacency_values(indptr, new_cols.astype(np.int32))
+    return HostCSR(
+        indptr=indptr,
+        indices=new_cols.astype(np.int32),
+        values=values,
+        n_rows=n,
+        n_cols=csr.n_cols,
+    )
+
+
+def permute_dataset(ds, perm: np.ndarray):
+    """Apply a node permutation to a whole Dataset (features/labels/split move
+    with their nodes)."""
+    from dataclasses import replace
+
+    return replace(
+        ds,
+        graph=permute_csr(ds.graph, perm),
+        features=ds.features[perm],
+        labels=ds.labels[perm],
+        split=ds.split[perm],
+        feature_csr=None,  # invalidated; dense features are authoritative here
+    )

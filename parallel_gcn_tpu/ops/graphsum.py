@@ -86,12 +86,12 @@ def _pick_n_chunks(n_edges_pad: int, n_feat: int, edge_chunk: int) -> int:
     return n_chunks
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _graphsum(x, row, col, val, adj, n_nodes, spec):
-    return _graphsum_impl(x, row, col, val, adj, n_nodes, spec)
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _graphsum(x, row, col, val, adj, bcsr, n_nodes, spec):
+    return _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec)
 
 
-def _graphsum_impl(x, row, col, val, adj, n_nodes, spec):
+def _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec):
     backend, n_chunks, precision = spec
     if backend == "dense":
         prec = None if precision in (None, "default") else precision
@@ -101,22 +101,22 @@ def _graphsum_impl(x, row, col, val, adj, n_nodes, spec):
     if backend == "bcsr":
         from parallel_gcn_tpu.ops.pallas_bcsr import bcsr_matmul
 
-        return bcsr_matmul(adj, x)  # adj here is the BCSR tile pack
+        return bcsr_matmul(bcsr, x)
     if n_chunks > 1:
         return _segment_chunked(x, row, col, val, n_nodes, n_chunks)
     return _segment_once(x, row, col, val, n_nodes)
 
 
-def _graphsum_fwd(x, row, col, val, adj, n_nodes, spec):
-    out = _graphsum_impl(x, row, col, val, adj, n_nodes, spec)
-    return out, (row, col, val, adj)
+def _graphsum_fwd(x, row, col, val, adj, bcsr, n_nodes, spec):
+    out = _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec)
+    return out, (row, col, val, adj, bcsr)
 
 
 def _graphsum_bwd(n_nodes, spec, res, g):
-    row, col, val, adj = res
+    row, col, val, adj, bcsr = res
     # Â symmetric: backward is the same aggregation applied to the cotangent.
-    dx = _graphsum_impl(g, row, col, val, adj, n_nodes, spec)
-    return dx, None, None, None, None
+    dx = _graphsum_impl(g, row, col, val, adj, bcsr, n_nodes, spec)
+    return dx, None, None, None, None, None
 
 
 _graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)
@@ -125,6 +125,8 @@ _graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)
 def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> str:
     if backend != "auto":
         return backend
+    if graph.bcsr is not None:
+        return "bcsr"
     if graph.adj is not None and graph.n_nodes <= dense_threshold:
         return "dense"
     return "segment"
@@ -149,6 +151,8 @@ def graphsum(
     resolved = resolve_backend(graph, backend, dense_threshold)
     if resolved == "dense" and graph.adj is None:
         raise ValueError("dense backend requested but graph was built without adj")
+    if resolved == "bcsr" and graph.bcsr is None:
+        raise ValueError("bcsr backend requested but graph was built without bcsr")
     n_chunks = (
         _pick_n_chunks(graph.n_edges_pad, x.shape[-1], edge_chunk)
         if resolved == "segment"
@@ -160,6 +164,7 @@ def graphsum(
         graph.col,
         graph.val,
         graph.adj,
+        graph.bcsr,
         graph.n_nodes,
         (resolved, n_chunks, precision),
     )

@@ -73,20 +73,24 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
     """Build the jitted one-epoch function:
 
     (weights, opt_state, key) -> (weights', opt_state', key', metrics[4])
+
+    The dataset arrays (graph, features, labels) are passed through jit as
+    arguments, not trace-time constants — embedding a multi-MB graph as an HLO
+    constant bloats compiles and breaks remote compilation for large graphs.
     """
     adam = cfg.adam
     wd = adam.weight_decay
-    train_mask = dds.split == TRAIN
-    val_mask = dds.split == VAL
     n_train = dds.split_counts[TRAIN]
     n_val = dds.split_counts[VAL]
+    train_mask = jax.device_put(dds.split == TRAIN)
+    val_mask = jax.device_put(dds.split == VAL)
 
-    def ce_loss(weights, key):
-        logits = model.apply(weights, dds.x, dds.graph, training=True, key=key)
-        loss, acc = masked_softmax_xent(logits, dds.labels, train_mask, n_train)
-        return loss, acc
+    def epoch_step(weights, opt_state, key, graph, x, labels, train_mask, val_mask):
+        def ce_loss(weights, key):
+            logits = model.apply(weights, x, graph, training=True, key=key)
+            loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
+            return loss, acc
 
-    def epoch_step(weights, opt_state, key):
         key, dropout_key = jax.random.split(key)
         (ce, train_acc), grads = jax.value_and_grad(ce_loss, has_aux=True)(
             weights, dropout_key
@@ -107,64 +111,79 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
         )
 
         # validation on the updated weights (src/gcn.cu:369 + event graph)
-        val_logits = model.apply(weights, dds.x, dds.graph, training=False)
-        val_ce, val_acc = masked_softmax_xent(val_logits, dds.labels, val_mask, n_val)
+        val_logits = model.apply(weights, x, graph, training=False)
+        val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
         val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
 
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
         return weights, opt_state, key, metrics
 
-    return jax.jit(epoch_step, donate_argnums=(0, 1))
+    jitted = jax.jit(epoch_step, donate_argnums=(0, 1))
+
+    def bound(weights, opt_state, key):
+        return jitted(
+            weights, opt_state, key, dds.graph, dds.x, dds.labels,
+            train_mask, val_mask,
+        )
+
+    return bound
 
 
 def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -> Callable:
-    mask = dds.split == split
+    mask_host = jax.device_put(dds.split == split)
     n = dds.split_counts[split]
     wd = cfg.adam.weight_decay
 
-    def eval_fn(weights):
-        logits = model.apply(weights, dds.x, dds.graph, training=False)
-        ce, acc = masked_softmax_xent(logits, dds.labels, mask, n)
+    def eval_fn(weights, graph, x, labels, mask):
+        logits = model.apply(weights, x, graph, training=False)
+        ce, acc = masked_softmax_xent(logits, labels, mask, n)
         loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
         return loss, acc
 
-    return jax.jit(eval_fn)
+    jitted = jax.jit(eval_fn)
+
+    def bound(weights):
+        return jitted(weights, dds.graph, dds.x, dds.labels, mask_host)
+
+    return bound
 
 
 def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     """The fused whole-run jit: lax.while_loop over epochs with on-device early
-    stopping. Returns (weights, opt, metrics[epochs,4], epochs_run)."""
+    stopping. Returns (weights, opt, metrics[epochs,4], epochs_run).
+
+    Dataset arrays are jit arguments (see make_epoch_step)."""
     adam = cfg.adam
     epochs = cfg.gcn.epochs
     k = cfg.gcn.early_stopping
-    train_mask = dds.split == TRAIN
-    val_mask = dds.split == VAL
     n_train = dds.split_counts[TRAIN]
     n_val = dds.split_counts[VAL]
     wd = adam.weight_decay
+    train_mask_host = jax.device_put(dds.split == TRAIN)
+    val_mask_host = jax.device_put(dds.split == VAL)
 
-    def ce_loss(weights, key):
-        logits = model.apply(weights, dds.x, dds.graph, training=True, key=key)
-        loss, acc = masked_softmax_xent(logits, dds.labels, train_mask, n_train)
-        return loss, acc
+    def run(weights, opt_state, key, graph, x, labels, train_mask, val_mask):
+        def ce_loss(weights, key):
+            logits = model.apply(weights, x, graph, training=True, key=key)
+            loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
+            return loss, acc
 
-    def one_epoch(weights, opt_state, key):
-        key, dropout_key = jax.random.split(key)
-        (ce, train_acc), grads = jax.value_and_grad(ce_loss, has_aux=True)(
-            weights, dropout_key
-        )
-        train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
-        weights, opt_state = adam_step(
-            weights, grads, opt_state,
-            learning_rate=adam.learning_rate, weight_decay=wd,
-            beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
-        )
-        val_logits = model.apply(weights, dds.x, dds.graph, training=False)
-        val_ce, val_acc = masked_softmax_xent(val_logits, dds.labels, val_mask, n_val)
-        val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
-        return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
+        def one_epoch(weights, opt_state, key):
+            key, dropout_key = jax.random.split(key)
+            (ce, train_acc), grads = jax.value_and_grad(ce_loss, has_aux=True)(
+                weights, dropout_key
+            )
+            train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            weights, opt_state = adam_step(
+                weights, grads, opt_state,
+                learning_rate=adam.learning_rate, weight_decay=wd,
+                beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
+            )
+            val_logits = model.apply(weights, x, graph, training=False)
+            val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
+            val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
 
-    def run(weights, opt_state, key):
         metrics0 = jnp.zeros((epochs, 4), jnp.float32)
         hist0 = jnp.zeros((epochs,), jnp.float32)  # val-loss history
 
@@ -198,7 +217,15 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
         )
         return weights, opt_state, metrics, epochs_run
 
-    return jax.jit(run, donate_argnums=(0, 1))
+    jitted = jax.jit(run, donate_argnums=(0, 1))
+
+    def bound(weights, opt_state, key):
+        return jitted(
+            weights, opt_state, key, dds.graph, dds.x, dds.labels,
+            train_mask_host, val_mask_host,
+        )
+
+    return bound
 
 
 def fit(
