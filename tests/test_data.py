@@ -90,3 +90,32 @@ def test_binarize_features():
     ds = load_dataset("cora", binarize_features=True, use_native=False)
     vals = ds.feature_csr.values
     assert (vals == 1.0).all()
+
+
+def test_native_loader_matches_python():
+    """The C++ loader (csrc/loader.cpp) must be bit-identical to the Python
+    parser on a real dataset."""
+    import pytest as _pytest
+
+    if not has_dataset("citeseer"):
+        _pytest.skip("citeseer not available")
+    try:
+        from parallel_gcn_tpu.data import native
+
+        result = native.load_dataset_native(
+            __import__("parallel_gcn_tpu.data.parser", fromlist=["find_data_dir"]).find_data_dir("citeseer"),
+            "citeseer",
+            False,
+        )
+    except Exception:
+        _pytest.skip("native loader unavailable (no compiler?)")
+    graph, feats, labels, split, input_dim, output_dim = result
+    ds = load_dataset("citeseer", use_native=False)
+    np.testing.assert_array_equal(graph.indptr, ds.graph.indptr)
+    np.testing.assert_array_equal(graph.indices, ds.graph.indices)
+    np.testing.assert_allclose(graph.values, ds.graph.values, rtol=1e-7)
+    np.testing.assert_array_equal(labels, ds.labels)
+    np.testing.assert_array_equal(split, ds.split)
+    np.testing.assert_array_equal(feats.indices, ds.feature_csr.indices)
+    np.testing.assert_allclose(feats.values, ds.feature_csr.values, rtol=1e-6)
+    assert (input_dim, output_dim) == (ds.input_dim, ds.output_dim)
