@@ -1,0 +1,117 @@
+"""Performance harness — port of the reference's performance_gpu methodology
+(test/performance_gpu.cpp): average epoch time per dataset with fixed
+hyperparameters, many repetitions, written to an output file and compared
+against the published baselines (BASELINE.md).
+
+The reference runs 200 separate 100-epoch trainings per dataset (20 for
+reddit); here each repetition is a fused on-device run, so a handful of reps
+gives tighter numbers than 200 host-driven loops would.
+
+Usage:
+    python harness/performance.py [dataset ...] [--epochs N] [--reps N]
+Writes output/performance_tpu.txt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from parallel_gcn_tpu.config import default_params_path, load_config
+from parallel_gcn_tpu.data.parser import load_dataset, to_device
+from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.optim import init_adam
+from parallel_gcn_tpu.train import _make_scan_run, build_model
+
+BASELINE_GPU_MS = {"cora": 0.277, "citeseer": 0.325, "pubmed": 1.418, "reddit": 231.518}
+BASELINE_CPU_MS = {"cora": 5.002, "citeseer": 7.291, "pubmed": 49.827, "reddit": 9826.111}
+
+
+def bench(dataset: str, epochs: int, reps: int) -> dict:
+    cfg = load_config(default_params_path(dataset))
+    cfg.gcn.epochs = epochs
+    cfg.gcn.early_stopping = 0
+    cfg.train.verbose = False
+    cfg.tpu.matmul_precision = "default"
+
+    ds = load_dataset(dataset, binarize_features=cfg.data.binarize_features)
+    dds = to_device(
+        ds,
+        node_pad=cfg.tpu.node_pad,
+        dense=(cfg.tpu.backend in ("auto", "dense"))
+        and ds.n_nodes <= cfg.tpu.dense_threshold,
+    )
+    model = build_model(cfg, dds)
+    run = _make_scan_run(model, cfg, dds)
+    key = jax.random.PRNGKey(cfg.tpu.seed)
+
+    def once():
+        w = init_params(
+            jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
+            cfg.gcn.hidden_dims, dds.output_dim,
+        )
+        opt = init_adam(w)
+        out = run(w, opt, key)
+        np.asarray(out[2])  # device barrier
+        return out
+
+    once()  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        once()
+        times.append((time.perf_counter() - t0) / epochs * 1e3)
+    edges = ds.graph.nnz
+    best = min(times)
+    return {
+        "dataset": dataset,
+        "backend": model.backend,
+        "epoch_ms_min": best,
+        "epoch_ms_mean": float(np.mean(times)),
+        "epoch_ms_sd": float(np.std(times)),
+        "edges_per_s": edges / (best / 1e3),
+        "vs_gpu_baseline": BASELINE_GPU_MS[dataset] / best,
+        "vs_cpu_baseline": BASELINE_CPU_MS[dataset] / best,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("datasets", nargs="*", default=None)
+    ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+    datasets = args.datasets or ["cora", "citeseer", "pubmed", "reddit"]
+
+    os.makedirs("output", exist_ok=True)
+    rows = []
+    for name in datasets:
+        try:
+            r = bench(name, args.epochs, args.reps)
+        except FileNotFoundError:
+            print(f"[{name}] dataset unavailable, skipping", file=sys.stderr)
+            continue
+        line = (
+            f"{name:10s} backend={r['backend']:8s} "
+            f"epoch {r['epoch_ms_min']:.4f} ms (mean {r['epoch_ms_mean']:.4f}±{r['epoch_ms_sd']:.4f}) "
+            f"{r['edges_per_s'] / 1e6:.1f} Medge/s "
+            f"| {r['vs_gpu_baseline']:.2f}x T4, {r['vs_cpu_baseline']:.0f}x CPU baseline"
+        )
+        print(line)
+        rows.append(json.dumps(r))
+
+    with open("output/performance_tpu.txt", "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -28,12 +28,19 @@ _BLOCK_ROWS = 512
 
 
 def _dropout_kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
-    # distinct stream per grid block: fold the block id into the seed
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # distinct stream per grid block: fold the flat block id into the seed
+    block_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + block_id)
     bits = pltpu.prng_random_bits(x_ref.shape)
     keep = bits.astype(jnp.uint32) < jnp.uint32(threshold)
     x = x_ref[:]
     o_ref[:] = jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype), 0)
+
+
+# per-buffer VMEM budget in elements (x block + out block + bits must fit in
+# ~16 MB VMEM with double buffering)
+_BLOCK_ELEMS = 512 * 1024
+_MAX_FEAT_TILE = 2048
 
 
 def _run_kernel(x, seed, rate: float, interpret: bool):
@@ -41,8 +48,11 @@ def _run_kernel(x, seed, rate: float, interpret: bool):
     # uint32 threshold: P(bits < threshold) = keep
     threshold = min(int(round(keep * 2.0**32)), 2**32 - 1)
     n, f = x.shape
-    block = min(_BLOCK_ROWS, n)
-    grid = pl.cdiv(n, block)
+    f_tile = min(f, _MAX_FEAT_TILE)
+    rows = max(8, min(_BLOCK_ROWS, _BLOCK_ELEMS // f_tile))
+    rows = max(8, rows // 8 * 8)  # sublane-aligned block rows
+    rows = min(rows, n)
+    grid = (pl.cdiv(n, rows), pl.cdiv(f, f_tile))
     kernel = functools.partial(
         _dropout_kernel, threshold=threshold, inv_keep=1.0 / keep
     )
@@ -50,14 +60,18 @@ def _run_kernel(x, seed, rate: float, interpret: bool):
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(grid,),
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (block, f), lambda i, seed_ref: (i, 0), memory_space=pltpu.VMEM
+                    (rows, f_tile),
+                    lambda i, j, seed_ref: (i, j),
+                    memory_space=pltpu.VMEM,
                 )
             ],
             out_specs=pl.BlockSpec(
-                (block, f), lambda i, seed_ref: (i, 0), memory_space=pltpu.VMEM
+                (rows, f_tile),
+                lambda i, j, seed_ref: (i, j),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),

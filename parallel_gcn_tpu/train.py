@@ -20,6 +20,7 @@ traffic at its own game.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -192,23 +193,37 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             return jnp.logical_and(epoch < epochs, jnp.logical_not(stopped))
 
         def body(carry):
-            weights, opt_state, key, epoch, hist, metrics, _ = carry
-            weights, opt_state, key, tl, ta, vl, va = one_epoch(
+            weights, opt_state, key, epoch, hist, metrics, stopped = carry
+            was_stopped = stopped
+            new_w, new_opt, new_key, tl, ta, vl, va = one_epoch(
                 weights, opt_state, key
             )
-            metrics = jax.lax.dynamic_update_slice(
+            # Freeze already-stopped lanes: on a single device the loop cond
+            # exits before body ever sees stopped=True, but under vmap (the
+            # seed-parallel accuracy harness) all lanes iterate until the
+            # slowest finishes and stopped lanes must be no-ops.
+            frozen = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(stopped, b, a), new, old
+            )
+            weights = frozen(new_w, weights)
+            opt_state = frozen(new_opt, opt_state)
+            key = jnp.where(stopped, key, new_key)
+            new_metrics = jax.lax.dynamic_update_slice(
                 metrics, jnp.stack([tl, ta, vl, va])[None, :], (epoch, 0)
             )
-            hist = hist.at[epoch].set(vl)
+            metrics = jnp.where(stopped, metrics, new_metrics)
+            hist = jnp.where(stopped, hist, hist.at[epoch].set(vl))
             if k > 0:
                 # window = last k val losses including the current epoch
                 # (src/gcn.cu:383-389: indices epoch-k .. epoch-1, 1-based).
                 start = jnp.maximum(epoch + 1 - k, 0)
                 window = jax.lax.dynamic_slice(hist, (start,), (k,))
-                stopped = jnp.logical_and(epoch + 1 >= k, vl > jnp.mean(window))
-            else:
-                stopped = jnp.asarray(False)
-            return weights, opt_state, key, epoch + 1, hist, metrics, stopped
+                now_stop = jnp.logical_and(epoch + 1 >= k, vl > jnp.mean(window))
+                stopped = jnp.logical_or(stopped, now_stop)
+            # the stopping epoch itself ran and counts (reference records it
+            # before breaking); only lanes that were ALREADY stopped hold.
+            epoch = epoch + jnp.where(was_stopped, 0, 1)
+            return weights, opt_state, key, epoch, hist, metrics, stopped
 
         init = (weights, opt_state, key, jnp.asarray(0, jnp.int32), hist0, metrics0,
                 jnp.asarray(False))
@@ -234,10 +249,15 @@ def fit(
     *,
     key: jax.Array | None = None,
     verbose: bool | None = None,
+    resume_from: str | None = None,
 ) -> FitResult:
     """Full training run: init → epoch loop (+early stopping) → test eval.
 
-    Counterpart of main() + GCN::run (src/main.cpp:9-62, src/gcn.cu:347-436).
+    Counterpart of main() + GCN::run (src/main.cpp:9-62, src/gcn.cu:347-436),
+    plus checkpoint/resume which the reference lacks (SURVEY.md §5.4):
+    ``resume_from`` restores weights/opt/key from a checkpoint file, and
+    cfg.train.checkpoint_dir enables saving (periodic in eager mode, final in
+    both modes).
     """
     verbose = cfg.train.verbose if verbose is None else verbose
     if key is None:
@@ -245,17 +265,39 @@ def fit(
     key, init_key = jax.random.split(key)
 
     model = build_model(cfg, dds)
-    weights = init_params(
-        init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
-    )
-    opt_state = init_adam(weights)
+    start_epoch = 0
+    if resume_from:
+        from parallel_gcn_tpu.utils.checkpoint import load_checkpoint
+
+        weights, opt_state, start_epoch, saved_key = load_checkpoint(resume_from)
+        if saved_key is not None:
+            key = saved_key
+        if verbose:
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
+    else:
+        weights = init_params(
+            init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
+        )
+        opt_state = init_adam(weights)
     test_fn = make_eval_fn(model, cfg, dds, TEST)
+
+    ckpt_dir = cfg.train.checkpoint_dir
+
+    def maybe_checkpoint(epoch, weights, opt_state, key):
+        if ckpt_dir and cfg.train.checkpoint_every and (
+            epoch % cfg.train.checkpoint_every == 0
+        ):
+            from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.npz"),
+                weights, opt_state, epoch, key,
+            )
 
     t0 = time.perf_counter()
     if cfg.train.mode == "scan":
         run = _make_scan_run(model, cfg, dds)
         weights, opt_state, metrics, epochs_run = run(weights, opt_state, key)
-        jax.block_until_ready(metrics)
         epochs_run = int(epochs_run)
         history = np.asarray(metrics)[:epochs_run]
         if verbose:
@@ -272,11 +314,12 @@ def fit(
         k = cfg.gcn.early_stopping
         rows = []
         loss_history: list[float] = []
-        for epoch in range(1, cfg.gcn.epochs + 1):
+        for epoch in range(start_epoch + 1, cfg.gcn.epochs + 1):
             te = time.perf_counter()
             weights, opt_state, key, metrics = epoch_step(weights, opt_state, key)
             tl, ta, vl, va = (float(v) for v in metrics)
             rows.append((tl, ta, vl, va))
+            maybe_checkpoint(epoch, weights, opt_state, key)
             if verbose:
                 print(
                     f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
@@ -292,6 +335,14 @@ def fit(
         history = np.asarray(rows, dtype=np.float32)
         epochs_run = len(rows)
     total_time = time.perf_counter() - t0
+
+    if ckpt_dir:
+        from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(ckpt_dir, "ckpt_final.npz"),
+            weights, opt_state, start_epoch + epochs_run, key,
+        )
 
     test_loss, test_acc = (float(v) for v in test_fn(weights))
     if verbose:

@@ -203,3 +203,25 @@ def test_early_stopping_triggers():
     k = 5
     hist = result.history[:, 2]
     assert hist[-1] > hist[-k:].mean() - 1e-6
+
+
+def test_checkpoint_resume(tmp_path):
+    """Resume must continue training from the saved state."""
+    from parallel_gcn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from parallel_gcn_tpu.optim import init_adam
+    from parallel_gcn_tpu.models.gcn import init_params
+    import jax
+
+    w = init_params(jax.random.PRNGKey(0), 10, (8,), 3)
+    opt = init_adam(w)
+    key = jax.random.PRNGKey(7)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, w, opt, epoch=5, key=key)
+    w2, opt2, epoch2, key2 = load_checkpoint(path)
+    assert epoch2 == 5
+    for a, b in zip(w, w2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(key)), np.asarray(jax.random.key_data(key2))
+    )
+    assert int(opt2.step) == int(opt.step)
