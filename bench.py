@@ -45,7 +45,12 @@ def bench_dataset(name: str) -> dict:
     from parallel_gcn_tpu.data.parser import load_dataset, to_device
     from parallel_gcn_tpu.models.gcn import init_params
     from parallel_gcn_tpu.optim import init_adam
-    from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn
+    from parallel_gcn_tpu.train import (
+        _make_scan_run,
+        build_model,
+        make_eval_fn,
+        preaggregate_input,
+    )
 
     cfg = load_config(default_params_path(name))
     cfg.gcn.epochs = EPOCHS
@@ -61,6 +66,8 @@ def bench_dataset(name: str) -> dict:
         and ds.n_nodes <= cfg.tpu.dense_threshold,
     )
     model = build_model(cfg, dds)
+    if cfg.tpu.input_preagg:
+        model, dds = preaggregate_input(model, dds)
     run = _make_scan_run(model, cfg, dds)
     log(f"[{name}] backend={model.backend} epochs={EPOCHS} device={jax.devices()[0]}")
 

@@ -29,7 +29,7 @@ from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import TEST, load_dataset, to_device
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn
+from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn, preaggregate_input
 
 # published val-accuracy mean±sd with tuned params (report p.13 Table 4)
 PUBLISHED_VAL = {"citeseer": (81.46, 0.495), "cora": (88.42, 0.297), "pubmed": (90.01, 0.314)}
@@ -51,6 +51,8 @@ def run_seeds(dataset: str, n_seeds: int, epochs: int | None, base_seed: int = 0
         and ds.n_nodes <= cfg.tpu.dense_threshold,
     )
     model = build_model(cfg, dds)
+    if cfg.tpu.input_preagg:
+        model, dds = preaggregate_input(model, dds)
     run = _make_scan_run(model, cfg, dds)
     test_fn = make_eval_fn(model, cfg, dds, TEST)
 

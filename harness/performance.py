@@ -29,7 +29,7 @@ from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import load_dataset, to_device
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.train import _make_scan_run, build_model
+from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
 BASELINE_GPU_MS = {"cora": 0.277, "citeseer": 0.325, "pubmed": 1.418, "reddit": 231.518}
 BASELINE_CPU_MS = {"cora": 5.002, "citeseer": 7.291, "pubmed": 49.827, "reddit": 9826.111}
@@ -50,6 +50,8 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
         and ds.n_nodes <= cfg.tpu.dense_threshold,
     )
     model = build_model(cfg, dds)
+    if cfg.tpu.input_preagg:
+        model, dds = preaggregate_input(model, dds)
     run = _make_scan_run(model, cfg, dds)
     key = jax.random.PRNGKey(cfg.tpu.seed)
 

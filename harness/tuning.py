@@ -28,7 +28,7 @@ from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import load_dataset, to_device
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.train import _make_scan_run, build_model
+from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
 # reference grids (test/tuning_accuracy.cpp:56-83), trimmed to fit a round
 PRESETS = {
@@ -71,6 +71,8 @@ def sweep(dataset: str, preset: str, seeds: int, epochs: int):
         cfg.tpu.matmul_precision = "default"
         cfg.train.verbose = False
         model = build_model(cfg, dds)
+        if cfg.tpu.input_preagg:
+            model, dds = preaggregate_input(model, dds)
         run = _make_scan_run(model, cfg, dds)
 
         init_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seeds))

@@ -113,6 +113,9 @@ class TPUConfig:
     edge_chunk: int = 0  # 0 = auto from memory budget
     dense_threshold: int = 8192  # use dense Â·X below this many (padded) nodes
     node_pad: int = 8  # pad nodes to a multiple of this (TPU sublane)
+    # hoist the input layer's Â·X out of the epoch loop when input dropout is 0
+    # (exact rewrite; see train.preaggregate_input)
+    input_preagg: bool = True
     seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
 

@@ -163,7 +163,13 @@ def load_dataset(
     name: str, data_dir: str = "", binarize_features: bool = False, use_native: bool = True
 ) -> Dataset:
     """Load one of the reference datasets (cora/citeseer/pubmed/reddit) or any
-    dataset in the same format."""
+    dataset in the same format. Names registered in data.synthetic
+    (synth-reddit, …) are generated in memory at matched scale instead."""
+    from parallel_gcn_tpu.data.synthetic import SYNTHETIC_SPECS, make_synthetic_dataset
+
+    if name in SYNTHETIC_SPECS:
+        return make_synthetic_dataset(name)
+
     directory = find_data_dir(name, data_dir)
 
     native_result = (

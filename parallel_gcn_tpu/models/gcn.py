@@ -61,6 +61,13 @@ class GCNModel:
     # (TPU hardware PRNG kernel, ops/pallas_dropout.py — the analog of the
     # reference's hand-written Philox kernel, src/module.cu:16-63)
     dropout_impl: str = "threefry"
+    # input pre-aggregation: when the input-layer dropout is 0, the first
+    # layer's aggregation is loop-invariant — Â·(X·W0) == (Â·X)·W0 with Â·X
+    # computed once at setup (see train.preaggregate_input). ``x`` then already
+    # holds Â·X and layer 0 skips its graphsum. Exact algebraic rewrite, not an
+    # approximation; the tuned reddit/pubmed configs (input dropout 0.0,
+    # report p.13 Table 4) qualify.
+    input_preagg: bool = False
 
     def _dropout(self, h, rate, key, training):
         if not training or rate <= 0.0:
@@ -90,20 +97,27 @@ class GCNModel:
         else:
             keys = [None] * self.n_layers
 
+        if self.input_preagg:
+            assert self.dropouts[0] == 0.0, (
+                "input_preagg is only exact with zero input dropout"
+            )
         prev = None
         for layer in range(self.n_layers):
             h = self._dropout(h, self.dropouts[layer], keys[layer], training)
             h = feature_transform(h, weights[layer], precision=self.precision).astype(
                 dtype
             )
-            h = graphsum(
-                h,
-                graph,
-                backend=self.backend,
-                edge_chunk=self.edge_chunk,
-                dense_threshold=self.dense_threshold,
-                precision=self.precision,
-            )
+            if layer == 0 and self.input_preagg:
+                pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
+            else:
+                h = graphsum(
+                    h,
+                    graph,
+                    backend=self.backend,
+                    edge_chunk=self.edge_chunk,
+                    dense_threshold=self.dense_threshold,
+                    precision=self.precision,
+                )
             if (
                 self.residual
                 and 0 < layer < self.n_layers - 1

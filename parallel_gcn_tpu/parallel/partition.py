@@ -25,19 +25,28 @@ from parallel_gcn_tpu.data.graph import HostCSR, pad_to_multiple
 class ShardedGraph:
     """Per-device COO slabs, stacked on a leading device axis.
 
-    row_local[d, e] is the destination row *within device d's shard*
-    (shard rows are the global rows [d·n_local, (d+1)·n_local)); col[d, e] is
-    the *global* source node id (resolved against the all-gathered features).
-    Padding entries carry val 0 and in-bounds indices.
+    Flat layout (``ring=False``): row_local[d, e] is the destination row
+    *within device d's shard* (shard rows are the global rows
+    [d·n_local, (d+1)·n_local)); col[d, e] is the *global* source node id
+    (resolved against the all-gathered features). Padding entries carry val 0
+    and in-bounds indices.
+
+    Ring layout (``ring=True``): arrays gain a ring-step axis —
+    row_local/col/val are [n_dev, n_dev, e_slab], where slab ``s`` on device
+    ``d`` holds exactly the edges whose source node lives in the block owned by
+    device ``(d - s) mod n_dev`` — the block device ``d`` is holding at ring
+    step ``s`` of the ``ppermute`` rotation. ``col`` is then the source index
+    *within that block* (source node id mod n_local).
     """
 
-    row_local: np.ndarray  # int32 [n_dev, e_local]
-    col: np.ndarray  # int32 [n_dev, e_local]
-    val: np.ndarray  # float32 [n_dev, e_local]
+    row_local: np.ndarray  # int32 [n_dev, e_local] | [n_dev, n_dev, e_slab]
+    col: np.ndarray  # int32, same shape as row_local
+    val: np.ndarray  # float32, same shape as row_local
     n_dev: int
     n_local: int  # rows per device
     n_real_nodes: int
     n_real_edges: int
+    ring: bool = False
 
     @property
     def n_nodes_pad(self) -> int:
@@ -79,4 +88,54 @@ def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph
         n_local=n_local,
         n_real_nodes=csr.n_rows,
         n_real_edges=csr.nnz,
+    )
+
+
+def partition_graph_ring(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph:
+    """Partition for the ``ppermute`` ring halo exchange (SURVEY.md §7.7).
+
+    Each device's edges are additionally bucketed by *source block* and laid
+    out in ring order: slab ``s`` of device ``d`` contains the edges whose
+    source node belongs to device ``(d - s) mod n_dev`` — exactly the block
+    that arrives at device ``d`` after ``s`` ring rotations. Slabs are padded
+    to the max (device, step) edge count (rounded to 128) so every scan step
+    has identical static shapes; per-slab rows stay sorted (padding rows are
+    ``n_local - 1``, appended last) so ``segment_sum`` keeps its sorted-ids
+    fast path.
+    """
+    n_local = pad_to_multiple(-(-csr.n_rows // n_dev), node_pad)
+
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    vals = csr.values
+    d = rows // n_local
+    b = cols // n_local
+    s = (d - b) % n_dev
+
+    order = np.lexsort((rows, s, d))  # group by (d, s); row-sorted within
+    group = (d[order] * n_dev + s[order]).astype(np.int64)
+    counts = np.bincount(group, minlength=n_dev * n_dev)
+    e_slab = pad_to_multiple(max(int(counts.max()), 1), 128)
+
+    starts = np.zeros(n_dev * n_dev, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(len(order), dtype=np.int64) - starts[group]
+
+    row_s = np.full((n_dev * n_dev, e_slab), n_local - 1, dtype=np.int32)
+    col_s = np.zeros((n_dev * n_dev, e_slab), dtype=np.int32)
+    val_s = np.zeros((n_dev * n_dev, e_slab), dtype=np.float32)
+    row_s[group, pos] = (rows[order] - d[order] * n_local).astype(np.int32)
+    col_s[group, pos] = (cols[order] % n_local).astype(np.int32)
+    val_s[group, pos] = vals[order]
+
+    shape = (n_dev, n_dev, e_slab)
+    return ShardedGraph(
+        row_local=row_s.reshape(shape),
+        col=col_s.reshape(shape),
+        val=val_s.reshape(shape),
+        n_dev=n_dev,
+        n_local=n_local,
+        n_real_nodes=csr.n_rows,
+        n_real_edges=csr.nnz,
+        ring=True,
     )

@@ -51,16 +51,50 @@ def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
 
 
 def graphsum_dist(x_local, row_local, col_global, val, n_local, axis=AXIS):
-    """Distributed Â·x: gather remote source features over ICI, aggregate the
-    local rows' edges. The halo exchange is an all_gather for now — XLA
-    overlaps it with the preceding matmul; a ppermute ring with double-buffered
-    halos is the planned upgrade for graphs whose gathered features exceed HBM.
+    """Distributed Â·x, all_gather halo: gather ALL remote source features over
+    ICI at once, aggregate the local rows' edges. Simple and fast while the
+    full gathered feature matrix fits HBM; XLA overlaps the collective with the
+    preceding matmul.
     """
     x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
     gathered = val[:, None].astype(x_local.dtype) * x_full[col_global]
     return jax.ops.segment_sum(
         gathered, row_local, num_segments=n_local, indices_are_sorted=True
     )
+
+
+def graphsum_ring(x_local, row_slabs, col_slabs, val_slabs, n_local, n_dev, axis=AXIS):
+    """Distributed Â·x, ``ppermute`` ring halo (SURVEY.md §7.7): node blocks
+    rotate around the ICI ring while each device aggregates the slab of edges
+    whose sources are in the block it currently holds. Peak memory is one
+    remote block (n_local × F) instead of the full gathered matrix
+    (n_nodes × F), and XLA overlaps each rotation with the current slab's
+    gather/segment_sum — the multi-chip analog of the reference's
+    stream-overlap design (src/gcn.cu:5-11).
+
+    Slabs come from ``partition_graph_ring``: slab ``s`` holds the edges whose
+    source block arrives after ``s`` rotations. The scan runs n_dev steps; the
+    final rotation returns blocks home (its result is unused).
+    """
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def body(carry, slab):
+        acc, blk = carry
+        r, c, v = slab
+        acc = acc + jax.ops.segment_sum(
+            v[:, None].astype(blk.dtype) * blk[c],
+            r,
+            num_segments=n_local,
+            indices_are_sorted=True,
+        )
+        blk = jax.lax.ppermute(blk, axis, perm)
+        return (acc, blk), None
+
+    acc0 = jnp.zeros((n_local, x_local.shape[-1]), x_local.dtype)
+    (acc, _), _ = jax.lax.scan(
+        body, (acc0, x_local), (row_slabs, col_slabs, val_slabs)
+    )
+    return acc
 
 
 def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=AXIS):
@@ -98,9 +132,16 @@ def make_parallel_epoch_step(
     dropouts = tuple(cfg.gcn.dropouts)
     n_layers = cfg.gcn.n_layers
     n_local = sgraph.n_local
+    n_dev = sgraph.n_dev
+    ring = sgraph.ring
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
     precision = cfg.tpu.matmul_precision
+
+    def _aggregate(h, rowl, colg, val):
+        if ring:
+            return graphsum_ring(h, rowl, colg, val, n_local, n_dev)
+        return graphsum_dist(h, rowl, colg, val, n_local)
 
     def forward(weights, x_local, rowl, colg, val, training, key):
         h = x_local
@@ -113,7 +154,7 @@ def make_parallel_epoch_step(
         for layer in range(n_layers):
             h = dropout(h, dropouts[layer], keys[layer], training=training)
             h = feature_transform(h, weights[layer], precision=precision)
-            h = graphsum_dist(h, rowl, colg, val, n_local)
+            h = _aggregate(h, rowl, colg, val)
             if layer < n_layers - 1:
                 h = jax.nn.relu(h)
         return h
@@ -148,13 +189,14 @@ def make_parallel_epoch_step(
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
         return weights, opt_state, key, metrics
 
+    slab_spec = P(AXIS, None, None) if ring else P(AXIS, None)
     sharded_step = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
             P(), P(), P(),  # weights, opt, key: replicated
             P(AXIS, None), P(AXIS), P(AXIS),  # x, labels, split: row-sharded
-            P(AXIS, None), P(AXIS, None), P(AXIS, None),  # graph slabs
+            slab_spec, slab_spec, slab_spec,  # graph slabs
         ),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
@@ -166,11 +208,12 @@ def device_put_sharded_inputs(mesh: Mesh, sgraph: ShardedGraph, x, labels, split
     """Place the row-sharded arrays on the mesh."""
     row_sh = NamedSharding(mesh, P(AXIS))
     mat_sh = NamedSharding(mesh, P(AXIS, None))
+    slab_sh = NamedSharding(mesh, P(AXIS, None, None)) if sgraph.ring else mat_sh
     return (
         jax.device_put(x, mat_sh),
         jax.device_put(labels, row_sh),
         jax.device_put(split, row_sh),
-        jax.device_put(sgraph.row_local, mat_sh),
-        jax.device_put(sgraph.col, mat_sh),
-        jax.device_put(sgraph.val, mat_sh),
+        jax.device_put(sgraph.row_local, slab_sh),
+        jax.device_put(sgraph.col, slab_sh),
+        jax.device_put(sgraph.val, slab_sh),
     )

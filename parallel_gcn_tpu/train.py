@@ -70,6 +70,44 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
     )
 
 
+def preaggregate_input(
+    model: GCNModel, dds: DeviceDataset
+) -> tuple[GCNModel, DeviceDataset]:
+    """Hoist the input layer's aggregation out of the epoch loop when it is
+    loop-invariant.
+
+    With zero input dropout, layer 0 computes Â·(X·W0) every epoch with
+    constant X — algebraically equal to (Â·X)·W0, so Â·X is computed ONCE here
+    and the per-epoch hot path loses its widest SpMM. This is exact (same
+    function, reassociated), and applies to the reference's own tuned
+    pubmed/reddit configs (input dropout 0.0, report p.13 Table 4) — an
+    optimization the modular stream-scheduled CUDA design could not express.
+    No-op when the input dropout is nonzero.
+    """
+    import dataclasses
+
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    if model.input_preagg or model.dropouts[0] != 0.0:
+        return model, dds
+
+    @jax.jit
+    def agg(x, graph):
+        return graphsum(
+            x,
+            graph,
+            backend=model.backend,
+            edge_chunk=model.edge_chunk,
+            dense_threshold=model.dense_threshold,
+            precision=model.precision,
+        )
+
+    x_agg = agg(dds.x, dds.graph)
+    model = dataclasses.replace(model, input_preagg=True)
+    dds = dataclasses.replace(dds, x=x_agg)
+    return model, dds
+
+
 def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callable:
     """Build the jitted one-epoch function:
 
@@ -265,6 +303,8 @@ def fit(
     key, init_key = jax.random.split(key)
 
     model = build_model(cfg, dds)
+    if cfg.tpu.input_preagg:
+        model, dds = preaggregate_input(model, dds)
     start_epoch = 0
     if resume_from:
         from parallel_gcn_tpu.utils.checkpoint import load_checkpoint

@@ -205,6 +205,51 @@ def test_early_stopping_triggers():
     assert hist[-1] > hist[-k:].mean() - 1e-6
 
 
+def test_input_preagg_is_exact():
+    """(Â·X)·W0 == Â·(X·W0): pre-aggregating the input (train.preaggregate_input)
+    must reproduce the metric trajectory of the unhoisted model exactly."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(preagg):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                          epochs=15, early_stopping=0),
+            tpu=TPUConfig(backend="segment", input_preagg=preagg),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        return fit(cfg, dds)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-4, atol=1e-5)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
+
+
+def test_input_preagg_noop_with_dropout():
+    """Nonzero input dropout must disable the hoist (it would be inexact)."""
+    from parallel_gcn_tpu.models.gcn import GCNModel
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.train import build_model, preaggregate_input
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+    model = GCNModel(n_layers=2, dropouts=(0.5, 0.5), backend="segment")
+    model2, dds2 = preaggregate_input(model, dds)
+    assert model2 is model and dds2 is dds
+
+
 def test_checkpoint_resume(tmp_path):
     """Resume must continue training from the saved state."""
     from parallel_gcn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

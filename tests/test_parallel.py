@@ -10,11 +10,12 @@ from parallel_gcn_tpu.data.graph import build_graph, random_graph
 from parallel_gcn_tpu.data.parser import Dataset, DeviceDataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.parallel.partition import partition_graph
+from parallel_gcn_tpu.parallel.partition import partition_graph, partition_graph_ring
 from parallel_gcn_tpu.parallel.train_parallel import (
     AXIS,
     device_put_sharded_inputs,
     graphsum_dist,
+    graphsum_ring,
     make_mesh,
     make_parallel_epoch_step,
     shard_dataset,
@@ -82,12 +83,103 @@ def test_graphsum_dist_matches_single_device(n_dev):
     np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
 
 
-def test_parallel_training_learns_and_matches_metrics():
+def test_ring_partition_covers_all_edges():
+    csr, _ = random_graph(100, 5, seed=2)
+    sg = partition_graph_ring(csr, 4)
+    assert sg.ring and sg.row_local.shape[:2] == (4, 4)
+    assert (sg.val != 0).sum() == csr.nnz
+    rows_g, cols_g, vals_g = [], [], []
+    for d in range(4):
+        for s in range(4):
+            live = sg.val[d, s] != 0
+            src_block = (d - s) % 4
+            rows_g.append(sg.row_local[d, s][live] + d * sg.n_local)
+            cols_g.append(sg.col[d, s][live] + src_block * sg.n_local)
+            vals_g.append(sg.val[d, s][live])
+    rows_g = np.concatenate(rows_g)
+    cols_g = np.concatenate(cols_g)
+    key = rows_g.astype(np.int64) * sg.n_nodes_pad + cols_g
+    order = np.argsort(key)
+    ref = csr.row_ids().astype(np.int64) * sg.n_nodes_pad + csr.indices
+    ref_order = np.argsort(ref)
+    np.testing.assert_array_equal(key[order], ref[ref_order])
+    np.testing.assert_allclose(
+        np.concatenate(vals_g)[order], csr.values[ref_order]
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_graphsum_ring_matches_single_device(n_dev):
+    csr, _ = random_graph(96, 6, seed=1)
+    sg = partition_graph_ring(csr, n_dev)
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((sg.n_nodes_pad, 16)).astype(np.float32)
+
+    g1 = build_graph(csr, n_nodes_pad=sg.n_nodes_pad)
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda x, r, c, v: graphsum_ring(
+                x, r[0], c[0], v[0], sg.n_local, n_dev
+            ),
+            mesh=mesh,
+            in_specs=(
+                P(AXIS, None),
+                P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None, None),
+            ),
+            out_specs=P(AXIS, None),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(fn(x, sg.row_local, sg.col, sg.val))
+    np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+
+
+def test_graphsum_ring_gradient_matches_dense():
+    """d/dx of the ring aggregation must equal Âᵀ·g = Â·g (symmetric Â)."""
+    n_dev = 4
+    csr, _ = random_graph(64, 5, seed=3)
+    sg = partition_graph_ring(csr, n_dev)
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((sg.n_nodes_pad, 8)).astype(np.float32)
+
+    adj = np.zeros((sg.n_nodes_pad, sg.n_nodes_pad), np.float32)
+    adj[csr.row_ids(), csr.indices] = csr.values
+    expected_grad = adj.T @ np.ones_like(x)  # cotangent of sum(Âx) is Âᵀ1
+
+    def loss(x):
+        def inner(x, r, c, v):
+            return graphsum_ring(x, r[0], c[0], v[0], sg.n_local, n_dev)
+
+        y = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(
+                P(AXIS, None),
+                P(AXIS, None, None), P(AXIS, None, None), P(AXIS, None, None),
+            ),
+            out_specs=P(AXIS, None),
+            check_vma=False,
+        )(x, sg.row_local, sg.col, sg.val)
+        return jnp.sum(y)
+
+    grad = np.asarray(jax.jit(jax.grad(loss))(jnp.asarray(x)))
+    np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("halo", ["all_gather", "ring"])
+def test_parallel_training_learns_and_matches_metrics(halo):
     """8-way node-parallel training must produce the same metrics trajectory as
     single-device training (identical weights, no dropout)."""
     ds = _dataset()
     n_dev = 8
-    sg = partition_graph(ds.graph, n_dev)
+    part = partition_graph_ring if halo == "ring" else partition_graph
+    sg = part(ds.graph, n_dev)
     mesh = make_mesh(n_dev)
     x, labels, split = shard_dataset(ds, sg)
     cfg = Config(
