@@ -42,7 +42,7 @@ def bench_dataset(name: str) -> dict:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
     from parallel_gcn_tpu.config import default_params_path, load_config
-    from parallel_gcn_tpu.data.parser import load_dataset, to_device
+    from parallel_gcn_tpu.data.parser import prepare_device_dataset
     from parallel_gcn_tpu.models.gcn import init_params
     from parallel_gcn_tpu.optim import init_adam
     from parallel_gcn_tpu.train import (
@@ -58,13 +58,7 @@ def bench_dataset(name: str) -> dict:
     cfg.train.verbose = False
     cfg.tpu.matmul_precision = "default"  # fast MXU path (accuracy unaffected)
 
-    ds = load_dataset(name, binarize_features=cfg.data.binarize_features)
-    dds = to_device(
-        ds,
-        node_pad=cfg.tpu.node_pad,
-        dense=(cfg.tpu.backend in ("auto", "dense"))
-        and ds.n_nodes <= cfg.tpu.dense_threshold,
-    )
+    ds, dds = prepare_device_dataset(cfg, name)
     model = build_model(cfg, dds)
     if cfg.tpu.input_preagg:
         model, dds = preaggregate_input(model, dds)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
-from parallel_gcn_tpu.data.parser import TEST, load_dataset, to_device
+from parallel_gcn_tpu.data.parser import TEST, prepare_device_dataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn, preaggregate_input
@@ -43,13 +43,7 @@ def run_seeds(dataset: str, n_seeds: int, epochs: int | None, base_seed: int = 0
     cfg.train.verbose = False
     cfg.tpu.matmul_precision = "default"
 
-    ds = load_dataset(dataset, binarize_features=cfg.data.binarize_features)
-    dds = to_device(
-        ds,
-        node_pad=cfg.tpu.node_pad,
-        dense=(cfg.tpu.backend in ("auto", "dense"))
-        and ds.n_nodes <= cfg.tpu.dense_threshold,
-    )
+    ds, dds = prepare_device_dataset(cfg, dataset)
     model = build_model(cfg, dds)
     if cfg.tpu.input_preagg:
         model, dds = preaggregate_input(model, dds)

@@ -26,13 +26,18 @@ import jax
 import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
-from parallel_gcn_tpu.data.parser import load_dataset, to_device
+from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
 BASELINE_GPU_MS = {"cora": 0.277, "citeseer": 0.325, "pubmed": 1.418, "reddit": 231.518}
 BASELINE_CPU_MS = {"cora": 5.002, "citeseer": 7.291, "pubmed": 49.827, "reddit": 9826.111}
+# synth-reddit matches reddit's published size statistics (SURVEY.md §6);
+# comparisons against the reference's reddit numbers are like-for-like in
+# FLOPs/edges, not dataset-identical
+BASELINE_GPU_MS["synth-reddit"] = BASELINE_GPU_MS["reddit"]
+BASELINE_CPU_MS["synth-reddit"] = BASELINE_CPU_MS["reddit"]
 
 
 def bench(dataset: str, epochs: int, reps: int) -> dict:
@@ -42,13 +47,7 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
     cfg.train.verbose = False
     cfg.tpu.matmul_precision = "default"
 
-    ds = load_dataset(dataset, binarize_features=cfg.data.binarize_features)
-    dds = to_device(
-        ds,
-        node_pad=cfg.tpu.node_pad,
-        dense=(cfg.tpu.backend in ("auto", "dense"))
-        and ds.n_nodes <= cfg.tpu.dense_threshold,
-    )
+    ds, dds = prepare_device_dataset(cfg, dataset)
     model = build_model(cfg, dds)
     if cfg.tpu.input_preagg:
         model, dds = preaggregate_input(model, dds)
@@ -91,7 +90,9 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
-    datasets = args.datasets or ["cora", "citeseer", "pubmed", "reddit"]
+    # reddit's blob ships separately and is absent here; synth-reddit is the
+    # statistics-matched stand-in (data/synthetic.py)
+    datasets = args.datasets or ["cora", "citeseer", "pubmed", "reddit", "synth-reddit"]
 
     os.makedirs("output", exist_ok=True)
     rows = []

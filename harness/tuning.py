@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
-from parallel_gcn_tpu.data.parser import load_dataset, to_device
+from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
@@ -50,12 +50,7 @@ PRESETS = {
 def sweep(dataset: str, preset: str, seeds: int, epochs: int):
     base = load_config(default_params_path(dataset))
     base.tpu.matmul_precision = "default"
-    ds = load_dataset(dataset, binarize_features=base.data.binarize_features)
-    dds = to_device(
-        ds,
-        node_pad=base.tpu.node_pad,
-        dense=ds.n_nodes <= base.tpu.dense_threshold,
-    )
+    ds, dds = prepare_device_dataset(base, dataset)
 
     grid = PRESETS[preset]
     results = []

@@ -21,7 +21,7 @@ from parallel_gcn_tpu.config import (
     default_params_path,
     load_config,
 )
-from parallel_gcn_tpu.data.parser import load_dataset, to_device
+from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.train import fit
 
 
@@ -60,20 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(params_file or default_params_path(dataset), overrides)
 
     print(f"PARSING {dataset} ...")
-    ds = load_dataset(
-        dataset, cfg.data.data_dir, binarize_features=cfg.data.binarize_features
-    )
+    ds, dds = prepare_device_dataset(cfg, dataset)
     print(
         f"nodes={ds.n_nodes} edges(nnz incl self-loops)={ds.graph.nnz} "
         f"features={ds.input_dim} classes={ds.output_dim} "
         f"train/val/test={ds.train_dim}/{ds.val_dim}/{ds.test_dim}"
-    )
-
-    use_dense = cfg.tpu.backend in ("auto", "dense")
-    dds = to_device(
-        ds,
-        node_pad=cfg.tpu.node_pad,
-        dense=use_dense and ds.n_nodes <= cfg.tpu.dense_threshold,
     )
 
     print("TRAINING AND EVALUATION OF GCN:")

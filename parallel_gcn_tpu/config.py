@@ -106,7 +106,11 @@ class TPUConfig:
     (include/utils.cuh:17-23), re-thought for XLA: instead of launch geometry we
     choose an aggregation backend, compute dtype, and edge-chunk budget."""
 
-    backend: str = "auto"  # auto | dense | segment | bcsr (Pallas)
+    backend: str = "auto"  # auto | dense | segment | bcsr | hybrid (Pallas tiles + COO)
+    # node reordering before device layout: none | rcm | community
+    # (permutation-equivariant preprocessing for block-sparse locality,
+    # data/reorder.py — the TPU analog of the reference's per-dataset tuning)
+    reorder: str = "none"
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
     dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
@@ -154,6 +158,9 @@ _KEYMAP = {
     "eps": ("adam", "eps"),
     "seed": ("tpu", "seed"),
     "backend": ("tpu", "backend"),
+    "reorder": ("tpu", "reorder"),
+    "input_preagg": ("tpu", "input_preagg"),
+    "node_pad": ("tpu", "node_pad"),
     "compute_dtype": ("tpu", "compute_dtype"),
     "matmul_precision": ("tpu", "matmul_precision"),
     "dropout_impl": ("tpu", "dropout_impl"),

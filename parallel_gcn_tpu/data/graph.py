@@ -42,7 +42,7 @@ class Graph:
     backward (src/module.cu:188-208).
     """
 
-    row: jnp.ndarray  # int32 [n_edges_pad]
+    row: jnp.ndarray  # int32 [n_edges_pad] (hybrid: COO residual only)
     col: jnp.ndarray  # int32 [n_edges_pad]
     val: jnp.ndarray  # float32 [n_edges_pad]
     adj: jnp.ndarray | None  # float32 [n_nodes, n_nodes] or None
@@ -50,6 +50,8 @@ class Graph:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded
     n_real_nodes: int = dataclasses.field(metadata=dict(static=True))
     n_real_edges: int = dataclasses.field(metadata=dict(static=True))
+    # True when bcsr holds only the dense tiles and row/col/val the residual
+    is_hybrid: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def n_edges_pad(self) -> int:
@@ -113,6 +115,39 @@ def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
     return HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
 
 
+def split_dense_tiles(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    n_pad: int,
+    min_tile_nnz: int = 16,
+    tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
+    tile: int = 128,
+    bytes_per_elem: int = 4,
+) -> np.ndarray:
+    """Boolean mask of edges living in "dense-enough" tile×tile blocks.
+
+    A tile qualifies when its nnz ≥ threshold, where the threshold is the
+    smallest value ≥ ``min_tile_nnz`` whose qualified tiles fit the byte
+    budget. The cut is a pure function of per-tile nnz — and Â's sparsity
+    pattern is symmetric — so the qualified edge set is symmetric too, which
+    keeps the backward-equals-forward shortcut valid for both the tile part
+    and the COO residual.
+    """
+    ntc = n_pad // tile
+    tid = (rows.astype(np.int64) // tile) * ntc + cols.astype(np.int64) // tile
+    uniq, inverse = np.unique(tid, return_inverse=True)
+    counts = np.bincount(inverse)
+
+    thresh = min_tile_nnz
+    tile_bytes = tile * tile * bytes_per_elem
+    max_tiles = max(tile_budget_bytes // tile_bytes, 1)
+    # raise the threshold until the qualified tile count fits the budget
+    cs = np.sort(counts)[::-1]
+    if (cs >= thresh).sum() > max_tiles:
+        thresh = int(cs[max_tiles - 1]) + 1
+    return (counts >= thresh)[inverse]
+
+
 def build_graph(
     csr: HostCSR,
     *,
@@ -120,37 +155,63 @@ def build_graph(
     edge_pad: int = 512,
     dense: bool = False,
     bcsr: bool = False,
+    hybrid: bool = False,
     n_nodes_pad: int | None = None,
+    min_tile_nnz: int = 16,
+    tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
+    tile_dtype=np.float32,
 ) -> Graph:
     """Pad a host CSR into the static-shaped device Graph.
 
     Padding edges get val=0 and row=col=n_nodes_pad-1 (in-bounds, harmless).
     ``bcsr=True`` additionally packs Â into 128×128 MXU tiles (nodes are then
-    padded to a multiple of 128).
+    padded to a multiple of 128). ``hybrid=True`` packs only the dense-enough
+    tiles (see ``split_dense_tiles``) and keeps the remaining edges as the COO
+    residual in row/col/val — the layout for ops.graphsum's "hybrid" backend.
     """
-    if bcsr:
+    if bcsr or hybrid:
         node_pad = max(node_pad, 128)
     n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
-    e_pad = pad_to_multiple(max(csr.nnz, 1), edge_pad)
 
+    rows_np = csr.row_ids()
+    cols_np = csr.indices
+    vals_np = csr.values
+
+    bcsr_pack = None
+    if hybrid:
+        from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
+
+        in_tiles = split_dense_tiles(
+            rows_np, cols_np, n_pad, min_tile_nnz, tile_budget_bytes,
+            bytes_per_elem=np.dtype(tile_dtype).itemsize,
+        )
+        bcsr_pack = build_bcsr(
+            rows_np[in_tiles], cols_np[in_tiles], vals_np[in_tiles], n_pad,
+            dtype=tile_dtype,
+        )
+        rows_np = rows_np[~in_tiles]
+        cols_np = cols_np[~in_tiles]
+        vals_np = vals_np[~in_tiles]
+
+    nnz = len(rows_np)
+    e_pad = pad_to_multiple(max(nnz, 1), edge_pad)
     row = np.full(e_pad, n_pad - 1, dtype=np.int32)
     col = np.full(e_pad, n_pad - 1, dtype=np.int32)
     val = np.zeros(e_pad, dtype=np.float32)
-    row[: csr.nnz] = csr.row_ids()
-    col[: csr.nnz] = csr.indices
-    val[: csr.nnz] = csr.values
+    row[:nnz] = rows_np
+    col[:nnz] = cols_np
+    val[:nnz] = vals_np
 
     adj = None
     if dense:
         adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
-        adj_np[row[: csr.nnz], col[: csr.nnz]] = val[: csr.nnz]
+        adj_np[csr.row_ids(), csr.indices] = csr.values
         adj = jnp.asarray(adj_np)
 
-    bcsr_pack = None
     if bcsr:
         from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
-        bcsr_pack = build_bcsr(row[: csr.nnz], col[: csr.nnz], val[: csr.nnz], n_pad)
+        bcsr_pack = build_bcsr(csr.row_ids(), csr.indices, csr.values, n_pad)
         assert bcsr_pack.n_nodes == n_pad
 
     return Graph(
@@ -162,6 +223,7 @@ def build_graph(
         n_nodes=n_pad,
         n_real_nodes=csr.n_rows,
         n_real_edges=csr.nnz,
+        is_hybrid=hybrid,
     )
 
 

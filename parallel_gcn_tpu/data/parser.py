@@ -220,15 +220,18 @@ def to_device(
     node_pad: int = 8,
     dense: bool = False,
     bcsr: bool = False,
+    hybrid: bool = False,
     n_nodes_pad: int | None = None,
+    tile_dtype="float32",
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
-    if bcsr:
+    if bcsr or hybrid:
         node_pad = max(node_pad, 128)
     n_pad = n_nodes_pad or pad_to_multiple(ds.n_nodes, node_pad)
     graph = build_graph(
-        ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, n_nodes_pad=n_pad
+        ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, hybrid=hybrid,
+        n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype),
     )
 
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
@@ -248,3 +251,41 @@ def to_device(
         output_dim=ds.output_dim,
         split_counts={s: int((ds.split == s).sum()) for s in (TRAIN, VAL, TEST)},
     )
+
+
+def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
+    """Load → (optionally) reorder → device layout, driven by one Config.
+
+    The single entry point used by the CLI, bench, and harnesses so that the
+    reorder/backends knobs behave identically everywhere.
+    """
+    ds = load_dataset(
+        name, cfg.data.data_dir, binarize_features=cfg.data.binarize_features
+    )
+
+    if cfg.tpu.reorder != "none":
+        from parallel_gcn_tpu.data.reorder import (
+            community_order,
+            permute_dataset,
+            rcm_permutation,
+        )
+
+        order_fn = {"rcm": rcm_permutation, "community": community_order}[
+            cfg.tpu.reorder
+        ]
+        ds = permute_dataset(ds, order_fn(ds.graph))
+
+    backend = cfg.tpu.backend
+    dense = backend in ("auto", "dense") and ds.n_nodes <= cfg.tpu.dense_threshold
+    # bf16 tiles double the coverage per byte of tile budget; keep true-f32
+    # tiles only when full f32 parity is requested
+    tile_dtype = "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+    dds = to_device(
+        ds,
+        node_pad=cfg.tpu.node_pad,
+        dense=dense,
+        bcsr=backend == "bcsr",
+        hybrid=backend == "hybrid",
+        tile_dtype=tile_dtype,
+    )
+    return ds, dds

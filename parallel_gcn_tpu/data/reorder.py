@@ -62,6 +62,44 @@ def rcm_permutation(csr: HostCSR) -> np.ndarray:
     return order[::-1].copy()  # reverse Cuthill-McKee
 
 
+def community_order(
+    csr: HostCSR, n_iters: int = 8, hub_block: int = 1024
+) -> np.ndarray:
+    """Community-clustering node order: label propagation + hubs-first.
+
+    Social graphs (reddit's subreddits) are community-structured; placing each
+    community's nodes contiguously makes the intra-community edges — the vast
+    majority — fall into dense 128×128 tiles for the MXU block-sparse kernel,
+    while pulling the top-degree hubs into one leading block concentrates the
+    hub-to-hub inter-community edges the same way (a Rabbit-Order-style
+    degree+community layout). Vectorized label propagation: each sweep, every
+    node adopts the most frequent label among its neighbors (ties toward the
+    larger label id, deterministic); O(E log E) per sweep via one sort.
+
+    Returns ``perm`` with perm[i] = old id placed at new position i (same
+    contract as ``rcm_permutation``).
+    """
+    n = csr.n_rows
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(n_iters):
+        key = rows * n + labels[cols]
+        uk, counts = np.unique(key, return_counts=True)
+        r = uk // n
+        lab = uk % n
+        order = np.lexsort((lab, counts, r))  # per row: by count, then label
+        last = np.searchsorted(r[order], np.arange(n), side="right") - 1
+        labels = lab[order][last]  # every row is present (self-loop)
+
+    deg = np.diff(csr.indptr).astype(np.int64)
+    nonhub = np.ones(n, dtype=np.int8)
+    if hub_block > 0:
+        nonhub[np.argsort(-deg, kind="stable")[:hub_block]] = 0
+    # primary: hubs first; then community label; then degree (desc) within
+    return np.lexsort((-deg, labels, nonhub)).astype(np.int64)
+
+
 def permute_csr(csr: HostCSR, perm: np.ndarray) -> HostCSR:
     """Relabel nodes: new node i is old node perm[i]. Neighbor lists are
     re-sorted; Â values are recomputed (degrees are permutation-invariant, so

@@ -17,9 +17,19 @@ loops over nodes or edges.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from parallel_gcn_tpu.data.graph import HostCSR, normalized_adjacency_values
+
+_CACHE_DIR = os.environ.get(
+    "PGCN_CACHE_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".synth_cache",
+    ),
+)
 
 # Published statistics of the datasets whose blobs are not shipped
 # (reference report p.10 Table 2; split sizes from the standard GraphSAGE split).
@@ -46,34 +56,110 @@ SYNTHETIC_SPECS = {
 }
 
 
-def synthetic_csr(
-    n_nodes: int, n_edges: int, seed: int = 0, power: float = 0.75
-) -> HostCSR:
-    """Undirected power-law graph as a self-loop-inclusive normalized CSR.
+def _sample_endpoints(
+    rng: np.random.Generator,
+    n_nodes: int,
+    n_sample: int,
+    structure: str,
+    power: float,
+    n_communities: int,
+    intra_frac: float,
+    hubness: np.ndarray | None,
+):
+    """Draw ``n_sample`` candidate undirected edges as (src, dst) arrays."""
+    if structure == "uniform-zipf":
+        w = np.arange(1, n_nodes + 1, dtype=np.float64) ** (-power)
+        p = w / w.sum()
+        src = rng.choice(n_nodes, size=n_sample, p=p).astype(np.int64)
+        dst = rng.integers(0, n_nodes, size=n_sample, dtype=np.int64)
+        return src, dst
 
-    Endpoints are drawn from a Zipf-like distribution over node ids (hubs at
-    low ids, mirroring a degree-sorted real graph); the directed edge list is
-    symmetrized and deduplicated, then trimmed/topped-up so the final nnz
-    (excluding the self-loops the pipeline prepends) is close to ``n_edges``.
+    # community (stochastic-block-model-like) structure: reddit's subreddit
+    # communities are what gives the real graph its locality, and locality is
+    # a first-order performance property of SpMM on any hardware — a uniform
+    # random graph would unfairly penalize both the reference's cache reuse
+    # and this framework's block-sparse tiles.
+    n_communities = max(1, min(n_communities, n_nodes // 8))
+    sizes_w = np.arange(1, n_communities + 1, dtype=np.float64) ** (-0.8)
+    sizes = np.maximum((sizes_w / sizes_w.sum() * n_nodes).astype(np.int64), 1)
+    drift = n_nodes - sizes.sum()  # distribute rounding drift over big blocks
+    if drift >= 0:
+        sizes[0] += drift
+    else:
+        take = np.minimum(sizes - 1, -drift)  # never below size 1
+        csum = np.cumsum(take)
+        k = np.searchsorted(csum, -drift)
+        sizes[: k + 1] -= take[: k + 1]
+        sizes[k] += csum[k] + drift
+    offsets = np.zeros(n_communities + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+
+    n_intra = int(n_sample * intra_frac)
+    c = rng.choice(n_communities, size=n_intra, p=sizes / sizes.sum())
+    src_a = offsets[c] + (rng.random(n_intra) * sizes[c]).astype(np.int64)
+    dst_a = offsets[c] + (rng.random(n_intra) * sizes[c]).astype(np.int64)
+
+    # inter-community edges concentrate on hub nodes (power users)
+    n_inter = n_sample - n_intra
+    src_b = rng.choice(n_nodes, size=n_inter, p=hubness).astype(np.int64)
+    dst_b = rng.choice(n_nodes, size=n_inter, p=hubness).astype(np.int64)
+    return np.concatenate([src_a, src_b]), np.concatenate([dst_a, dst_b])
+
+
+def synthetic_csr(
+    n_nodes: int,
+    n_edges: int,
+    seed: int = 0,
+    power: float = 1.05,
+    structure: str = "community",
+    n_communities: int = 960,
+    intra_frac: float = 0.9,
+    shuffle: bool = True,
+) -> HostCSR:
+    """Undirected graph as a self-loop-inclusive normalized CSR.
+
+    ``structure="community"`` (default): stochastic-block-model communities
+    with Zipf sizes plus hub-concentrated inter-community edges — the locality
+    profile of real social graphs like reddit. ``structure="uniform-zipf"``:
+    one Zipf endpoint, one uniform (no locality; the adversarial case).
+
+    Node ids are randomly shuffled at the end (``shuffle=True``) so the emitted
+    labeling carries no structure information — recovering locality is the
+    job of the pipeline's reordering pass (data/reorder.py), exactly as with a
+    real dataset.
     """
     rng = np.random.default_rng(seed)
-    w = np.arange(1, n_nodes + 1, dtype=np.float64) ** (-power)
-    p = w / w.sum()
-
-    # sample with surplus: symmetrize + dedupe loses edges
     target_half = n_edges // 2
+
+    hubness = None
+    if structure == "community":
+        w = np.arange(1, n_nodes + 1, dtype=np.float64) ** (-power)
+        hubness = w / w.sum()  # over community-ordered ids; shuffle hides it
+
+    # sample → dedupe → top up: intra-community pairs collide often (small
+    # communities have few distinct pairs), so iterate until the target holds
+    key = np.zeros(0, dtype=np.int64)
     n_sample = int(target_half * 1.25) + 1024
-    src = rng.choice(n_nodes, size=n_sample, p=p).astype(np.int64)
-    dst = rng.integers(0, n_nodes, size=n_sample, dtype=np.int64)
-    keep = src != dst
-    src, dst = src[keep], dst[keep]
-    # canonical undirected key (lo, hi), dedupe
-    lo = np.minimum(src, dst)
-    hi = np.maximum(src, dst)
-    key = np.unique(lo * n_nodes + hi)
+    for _ in range(8):
+        src, dst = _sample_endpoints(
+            rng, n_nodes, n_sample, structure, power, n_communities, intra_frac,
+            hubness,
+        )
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        key = np.unique(np.concatenate([key, lo * n_nodes + hi]))
+        if key.shape[0] >= target_half:
+            break
+        n_sample = int((target_half - key.shape[0]) * 2.5) + 1024
     if key.shape[0] > target_half:
         key = rng.permutation(key)[:target_half]
     lo, hi = key // n_nodes, key % n_nodes
+
+    if shuffle:
+        relabel = rng.permutation(n_nodes).astype(np.int64)
+        lo, hi = relabel[lo], relabel[hi]
 
     # symmetrize → directed COO, then append self-loops as FIRST neighbor per
     # row (reference: src/parser.cpp:29-31) via a sort key that orders the
@@ -123,8 +209,42 @@ def synthetic_features(
     return csr, dense
 
 
+# bump when the generator's sampling changes so stale caches are ignored
+_GENERATOR_VERSION = 2
+
+
+def _cache_load(name: str, seed: int):
+    path = os.path.join(_CACHE_DIR, f"{name}_{seed}_v{_GENERATOR_VERSION}.npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        return HostCSR(
+            indptr=z["indptr"], indices=z["indices"], values=z["values"],
+            n_rows=int(z["n_rows"]), n_cols=int(z["n_rows"]),
+        )
+    except Exception:
+        return None
+
+
+def _cache_save(name: str, seed: int, csr: HostCSR) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez(
+            os.path.join(_CACHE_DIR, f"{name}_{seed}_v{_GENERATOR_VERSION}.npz"),
+            indptr=csr.indptr, indices=csr.indices, values=csr.values,
+            n_rows=csr.n_rows,
+        )
+    except Exception:
+        pass  # caching is best-effort
+
+
 def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
-    """Build a ``Dataset`` for a registered synthetic spec (or explicit kwargs)."""
+    """Build a ``Dataset`` for a registered synthetic spec (or explicit kwargs).
+
+    The graph (the expensive part — minutes at reddit scale) is cached on disk
+    keyed by (name, seed); features/labels/split regenerate in seconds.
+    """
     from parallel_gcn_tpu.data.parser import TEST, TRAIN, VAL, Dataset
 
     spec = dict(SYNTHETIC_SPECS.get(name, {}))
@@ -134,7 +254,14 @@ def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
     n_nodes = spec["n_nodes"]
     rng = np.random.default_rng(seed ^ 0x5EED)
 
-    graph = synthetic_csr(n_nodes, spec["n_edges"], seed=seed)
+    graph = _cache_load(name, seed) if name in SYNTHETIC_SPECS else None
+    if graph is None or graph.n_rows != n_nodes:
+        graph = synthetic_csr(
+            n_nodes, spec["n_edges"], seed=seed,
+            structure=spec.get("structure", "community"),
+        )
+        if name in SYNTHETIC_SPECS:
+            _cache_save(name, seed, graph)
     feature_csr, features = synthetic_features(
         n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
     )

@@ -102,6 +102,14 @@ def _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec):
         from parallel_gcn_tpu.ops.pallas_bcsr import bcsr_matmul
 
         return bcsr_matmul(bcsr, x)
+    if backend == "hybrid":
+        # dense tiles on the MXU + COO residual through segment_sum
+        from parallel_gcn_tpu.ops.pallas_bcsr import bcsr_matmul
+
+        out = bcsr_matmul(bcsr, x).astype(x.dtype)
+        if n_chunks > 1:
+            return out + _segment_chunked(x, row, col, val, n_nodes, n_chunks)
+        return out + _segment_once(x, row, col, val, n_nodes)
     if n_chunks > 1:
         return _segment_chunked(x, row, col, val, n_nodes, n_chunks)
     return _segment_once(x, row, col, val, n_nodes)
@@ -123,13 +131,20 @@ _graphsum.defvjp(_graphsum_fwd, _graphsum_bwd)
 
 
 def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> str:
-    if backend != "auto":
-        return backend
-    if graph.bcsr is not None:
-        return "bcsr"
-    if graph.adj is not None and graph.n_nodes <= dense_threshold:
-        return "dense"
-    return "segment"
+    if backend == "auto":
+        if graph.is_hybrid:
+            backend = "hybrid"
+        elif graph.bcsr is not None:
+            backend = "bcsr"
+        elif graph.adj is not None and graph.n_nodes <= dense_threshold:
+            backend = "dense"
+        else:
+            backend = "segment"
+    if backend == "bcsr" and graph.is_hybrid:
+        # the tile pack holds only the dense tiles; dropping the residual
+        # would silently compute the wrong aggregation
+        backend = "hybrid"
+    return backend
 
 
 def graphsum(
@@ -155,7 +170,7 @@ def graphsum(
         raise ValueError("bcsr backend requested but graph was built without bcsr")
     n_chunks = (
         _pick_n_chunks(graph.n_edges_pad, x.shape[-1], edge_chunk)
-        if resolved == "segment"
+        if resolved in ("segment", "hybrid")
         else 1
     )
     return _graphsum(

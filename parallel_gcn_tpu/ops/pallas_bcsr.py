@@ -46,9 +46,16 @@ class BCSR:
         return self.tiles.shape[0]
 
 
-def build_bcsr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_nodes: int) -> BCSR:
+def build_bcsr(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_nodes: int,
+    dtype=np.float32,
+) -> BCSR:
     """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a TILE
-    multiple; padding tiles (val 0) keep the tile count static-friendly."""
+    multiple; padding tiles (val 0) keep the tile count static-friendly.
+    ``dtype=bfloat16`` halves tile bytes (the kernel accumulates in f32)."""
     n_pad = ((n_nodes + TILE - 1) // TILE) * TILE
     live = vals != 0
     rows, cols, vals = rows[live], cols[live], vals[live]
@@ -64,6 +71,7 @@ def build_bcsr(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_nodes: in
     T = len(uniq)
     tiles = np.zeros((T + len(missing), TILE, TILE), dtype=np.float32)
     tiles[inverse, rows % TILE, cols % TILE] = vals
+    tiles = tiles.astype(jnp.dtype(dtype)) if dtype != np.float32 else tiles
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     tile_cols = np.concatenate(
         [uniq % n_tile_cols, np.zeros(len(missing), np.int64)]
@@ -91,8 +99,9 @@ def _bcsr_kernel(rows_ref, cols_ref, tiles_ref, x_ref, o_ref):
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    t = tiles_ref[0]
     o_ref[:] += jnp.dot(
-        tiles_ref[0], x_ref[:], preferred_element_type=jnp.float32
+        t, x_ref[:].astype(t.dtype), preferred_element_type=jnp.float32
     )
 
 
