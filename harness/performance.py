@@ -34,10 +34,13 @@ from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_inp
 BASELINE_GPU_MS = {"cora": 0.277, "citeseer": 0.325, "pubmed": 1.418, "reddit": 231.518}
 BASELINE_CPU_MS = {"cora": 5.002, "citeseer": 7.291, "pubmed": 49.827, "reddit": 9826.111}
 # synth-reddit matches reddit's published size statistics (SURVEY.md §6);
-# comparisons against the reference's reddit numbers are like-for-like in
-# FLOPs/edges, not dataset-identical
+# synth-pubmed runs the REAL pubmed graph+split with synthetic features
+# (the .svmlight blob is not shipped). Comparisons against the reference's
+# numbers are like-for-like in FLOPs/edges, not dataset-identical.
 BASELINE_GPU_MS["synth-reddit"] = BASELINE_GPU_MS["reddit"]
 BASELINE_CPU_MS["synth-reddit"] = BASELINE_CPU_MS["reddit"]
+BASELINE_GPU_MS["synth-pubmed"] = BASELINE_GPU_MS["pubmed"]
+BASELINE_CPU_MS["synth-pubmed"] = BASELINE_CPU_MS["pubmed"]
 
 
 def bench(dataset: str, epochs: int, reps: int) -> dict:
@@ -90,9 +93,12 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
-    # reddit's blob ships separately and is absent here; synth-reddit is the
-    # statistics-matched stand-in (data/synthetic.py)
-    datasets = args.datasets or ["cora", "citeseer", "pubmed", "reddit", "synth-reddit"]
+    # pubmed/reddit blobs ship separately and are absent here; synth-pubmed
+    # (real graph, synthetic features) and synth-reddit (statistics-matched
+    # graph) are the stand-ins (data/synthetic.py)
+    datasets = args.datasets or [
+        "cora", "citeseer", "pubmed", "reddit", "synth-pubmed", "synth-reddit",
+    ]
 
     os.makedirs("output", exist_ok=True)
     rows = []

@@ -165,10 +165,17 @@ def load_dataset(
     """Load one of the reference datasets (cora/citeseer/pubmed/reddit) or any
     dataset in the same format. Names registered in data.synthetic
     (synth-reddit, …) are generated in memory at matched scale instead."""
-    from parallel_gcn_tpu.data.synthetic import SYNTHETIC_SPECS, make_synthetic_dataset
+    from parallel_gcn_tpu.data.synthetic import (
+        SYNTH_FEATURE_SPECS,
+        SYNTHETIC_SPECS,
+        make_synth_feature_dataset,
+        make_synthetic_dataset,
+    )
 
     if name in SYNTHETIC_SPECS:
         return make_synthetic_dataset(name)
+    if name in SYNTH_FEATURE_SPECS:
+        return make_synth_feature_dataset(name, data_dir=data_dir)
 
     directory = find_data_dir(name, data_dir)
 

@@ -55,6 +55,19 @@ SYNTHETIC_SPECS = {
     ),
 }
 
+# Datasets whose .graph/.split ship with the reference but whose .svmlight
+# (features+labels) is a missing large blob: load the REAL graph and split and
+# synthesize only features/labels — epoch-time numbers then measure the true
+# SpMM structure (report p.10 Table 2 dims).
+SYNTH_FEATURE_SPECS = {
+    "synth-pubmed": dict(
+        real_name="pubmed",
+        input_dim=500,
+        n_classes=3,
+        feature_nnz_per_row=50,
+    ),
+}
+
 
 def _sample_endpoints(
     rng: np.random.Generator,
@@ -237,6 +250,63 @@ def _cache_save(name: str, seed: int, csr: HostCSR) -> None:
         )
     except Exception:
         pass  # caching is best-effort
+
+
+def make_synth_feature_dataset(name: str, seed: int = 19990304, data_dir: str = ""):
+    """Real graph + real split, synthetic features/labels (SYNTH_FEATURE_SPECS).
+
+    For datasets whose .svmlight is a missing blob (pubmed): the graph parser
+    and split reader run on the real files (reference format, self-loop CSR,
+    Â precompute), so SpMM benchmarking sees the true sparsity structure.
+    """
+    from parallel_gcn_tpu.data.parser import (
+        Dataset,
+        find_data_dir,
+        parse_graph_file,
+        parse_split_file,
+    )
+    import os as _os
+
+    spec = SYNTH_FEATURE_SPECS[name]
+    real = spec["real_name"]
+    # find the dir containing .graph/.split (svmlight intentionally not required)
+    directory = ""
+    from parallel_gcn_tpu.data.parser import _DATA_DIR_CANDIDATES
+
+    for cand in ([data_dir] if data_dir else list(_DATA_DIR_CANDIDATES)):
+        if cand and all(
+            _os.path.exists(_os.path.join(cand, f"{real}.{ext}"))
+            for ext in ("graph", "split")
+        ):
+            directory = cand
+            break
+    if not directory:
+        raise FileNotFoundError(f"{real}.graph/.split not found for {name}")
+
+    graph = parse_graph_file(_os.path.join(directory, f"{real}.graph"))
+    split = parse_split_file(_os.path.join(directory, f"{real}.split"))
+    n_nodes = graph.n_rows
+
+    rng = np.random.default_rng(seed ^ 0x5EED)
+    feature_csr, features = synthetic_features(
+        n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
+    )
+    proj = rng.standard_normal((spec["input_dim"], spec["n_classes"])).astype(
+        np.float32
+    )
+    labels = np.argmax(features @ proj, axis=1).astype(np.int32)
+
+    return Dataset(
+        name=name,
+        graph=graph,
+        feature_csr=feature_csr,
+        features=features,
+        labels=labels,
+        split=split,
+        n_nodes=n_nodes,
+        input_dim=spec["input_dim"],
+        output_dim=spec["n_classes"],
+    )
 
 
 def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
