@@ -120,6 +120,9 @@ class TPUConfig:
     # hoist the input layer's Â·X out of the epoch loop when input dropout is 0
     # (exact rewrite; see train.preaggregate_input)
     input_preagg: bool = True
+    # bcsr/hybrid tile edge (multiple of 128); larger tiles amortize Pallas
+    # grid-step overhead on graphs with big community blocks
+    tile_size: int = 128
     seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
 
@@ -159,6 +162,7 @@ _KEYMAP = {
     "seed": ("tpu", "seed"),
     "backend": ("tpu", "backend"),
     "reorder": ("tpu", "reorder"),
+    "tile_size": ("tpu", "tile_size"),
     "input_preagg": ("tpu", "input_preagg"),
     "node_pad": ("tpu", "node_pad"),
     "compute_dtype": ("tpu", "compute_dtype"),

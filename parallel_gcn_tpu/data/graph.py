@@ -119,7 +119,7 @@ def split_dense_tiles(
     rows: np.ndarray,
     cols: np.ndarray,
     n_pad: int,
-    min_tile_nnz: int = 16,
+    min_tile_nnz: int | None = None,
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     tile: int = 128,
     bytes_per_elem: int = 4,
@@ -138,8 +138,12 @@ def split_dense_tiles(
     uniq, inverse = np.unique(tid, return_inverse=True)
     counts = np.bincount(inverse)
 
-    thresh = min_tile_nnz
     tile_bytes = tile * tile * bytes_per_elem
+    if min_tile_nnz is None:
+        # break-even vs the COO gather path: a tile is worth streaming when
+        # tile_bytes/HBM_BW < nnz x ~15 ns/edge (measured v5e gather rate)
+        min_tile_nnz = max(8, tile_bytes // 12288)
+    thresh = min_tile_nnz
     max_tiles = max(tile_budget_bytes // tile_bytes, 1)
     # raise the threshold until the qualified tile count fits the budget
     cs = np.sort(counts)[::-1]
@@ -157,9 +161,10 @@ def build_graph(
     bcsr: bool = False,
     hybrid: bool = False,
     n_nodes_pad: int | None = None,
-    min_tile_nnz: int = 16,
+    min_tile_nnz: int | None = None,
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     tile_dtype=np.float32,
+    tile_size: int = 128,
 ) -> Graph:
     """Pad a host CSR into the static-shaped device Graph.
 
@@ -170,7 +175,7 @@ def build_graph(
     residual in row/col/val — the layout for ops.graphsum's "hybrid" backend.
     """
     if bcsr or hybrid:
-        node_pad = max(node_pad, 128)
+        node_pad = max(node_pad, tile_size)
     n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
 
     rows_np = csr.row_ids()
@@ -183,11 +188,11 @@ def build_graph(
 
         in_tiles = split_dense_tiles(
             rows_np, cols_np, n_pad, min_tile_nnz, tile_budget_bytes,
-            bytes_per_elem=np.dtype(tile_dtype).itemsize,
+            tile=tile_size, bytes_per_elem=np.dtype(tile_dtype).itemsize,
         )
         bcsr_pack = build_bcsr(
             rows_np[in_tiles], cols_np[in_tiles], vals_np[in_tiles], n_pad,
-            dtype=tile_dtype,
+            dtype=tile_dtype, tile=tile_size,
         )
         rows_np = rows_np[~in_tiles]
         cols_np = cols_np[~in_tiles]
@@ -211,7 +216,9 @@ def build_graph(
     if bcsr:
         from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
-        bcsr_pack = build_bcsr(csr.row_ids(), csr.indices, csr.values, n_pad)
+        bcsr_pack = build_bcsr(
+            csr.row_ids(), csr.indices, csr.values, n_pad, tile=tile_size
+        )
         assert bcsr_pack.n_nodes == n_pad
 
     return Graph(

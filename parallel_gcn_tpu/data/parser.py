@@ -230,15 +230,16 @@ def to_device(
     hybrid: bool = False,
     n_nodes_pad: int | None = None,
     tile_dtype="float32",
+    tile_size: int = 128,
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
     if bcsr or hybrid:
-        node_pad = max(node_pad, 128)
+        node_pad = max(node_pad, tile_size)
     n_pad = n_nodes_pad or pad_to_multiple(ds.n_nodes, node_pad)
     graph = build_graph(
         ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, hybrid=hybrid,
-        n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype),
+        n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype), tile_size=tile_size,
     )
 
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
@@ -294,5 +295,6 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         bcsr=backend == "bcsr",
         hybrid=backend == "hybrid",
         tile_dtype=tile_dtype,
+        tile_size=cfg.tpu.tile_size,
     )
     return ds, dds

@@ -26,24 +26,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128  # MXU-native tile edge
+TILE = 128  # default tile edge (MXU-native); larger tiles amortize the
+# per-grid-step overhead (~0.3 µs/step measured on v5e) when the graph has
+# community blocks bigger than 128 — build-time parameter, see build_bcsr
 _FEAT_TILE = 128
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BCSR:
-    """Sorted-by-row pack of nonempty TILE×TILE blocks of Â."""
+    """Sorted-by-row pack of nonempty tile×tile blocks of Â."""
 
-    tiles: jnp.ndarray  # [T, TILE, TILE] float32 — dense tile data
+    tiles: jnp.ndarray  # [T, tile, tile] — dense tile data (f32 or bf16)
     tile_rows: jnp.ndarray  # int32 [T] — tile-row index, ascending
     tile_cols: jnp.ndarray  # int32 [T]
-    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded, TILE-multiple
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded, tile-multiple
     n_tiles_real: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def n_tiles(self) -> int:
         return self.tiles.shape[0]
+
+    @property
+    def tile(self) -> int:
+        return self.tiles.shape[1]
 
 
 def build_bcsr(
@@ -52,25 +58,28 @@ def build_bcsr(
     vals: np.ndarray,
     n_nodes: int,
     dtype=np.float32,
+    tile: int = TILE,
 ) -> BCSR:
-    """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a TILE
+    """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a ``tile``
     multiple; padding tiles (val 0) keep the tile count static-friendly.
-    ``dtype=bfloat16`` halves tile bytes (the kernel accumulates in f32)."""
-    n_pad = ((n_nodes + TILE - 1) // TILE) * TILE
+    ``dtype=bfloat16`` halves tile bytes (the kernel accumulates in f32);
+    ``tile`` must be a multiple of 128 (MXU/lane granularity)."""
+    assert tile % 128 == 0, tile
+    n_pad = ((n_nodes + tile - 1) // tile) * tile
     live = vals != 0
     rows, cols, vals = rows[live], cols[live], vals[live]
-    trow = rows // TILE
-    tcol = cols // TILE
-    n_tile_cols = n_pad // TILE
+    trow = rows // tile
+    tcol = cols // tile
+    n_tile_cols = n_pad // tile
     tile_id = trow.astype(np.int64) * n_tile_cols + tcol
     uniq, inverse = np.unique(tile_id, return_inverse=True)
     # every tile-row needs >=1 tile or its output block would never be
     # initialized by the kernel — give uncovered rows an explicit zero tile
     covered = np.unique(uniq // n_tile_cols)
-    missing = np.setdiff1d(np.arange(n_pad // TILE, dtype=np.int64), covered)
+    missing = np.setdiff1d(np.arange(n_pad // tile, dtype=np.int64), covered)
     T = len(uniq)
-    tiles = np.zeros((T + len(missing), TILE, TILE), dtype=np.float32)
-    tiles[inverse, rows % TILE, cols % TILE] = vals
+    tiles = np.zeros((T + len(missing), tile, tile), dtype=np.float32)
+    tiles[inverse, rows % tile, cols % tile] = vals
     tiles = tiles.astype(jnp.dtype(dtype)) if dtype != np.float32 else tiles
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     tile_cols = np.concatenate(
@@ -107,6 +116,7 @@ def _bcsr_kernel(rows_ref, cols_ref, tiles_ref, x_ref, o_ref):
 
 def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
     T = tiles.shape[0]
+    tile = tiles.shape[1]
     n_feat = x.shape[1]
     ft = min(_FEAT_TILE, n_feat)
     grid = (pl.cdiv(n_feat, ft), T)
@@ -118,18 +128,18 @@ def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, TILE, TILE),
+                    (1, tile, tile),
                     lambda f, t, rows, cols: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (TILE, ft),
+                    (tile, ft),
                     lambda f, t, rows, cols: (cols[t], f),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (TILE, ft),
+                (tile, ft),
                 lambda f, t, rows, cols: (rows[t], f),
                 memory_space=pltpu.VMEM,
             ),

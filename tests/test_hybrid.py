@@ -57,6 +57,18 @@ def test_hybrid_matches_segment(min_nnz):
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+def test_hybrid_tile256_matches_segment():
+    csr, _ = random_graph(300, 8, seed=4)
+    g_seg = build_graph(csr, n_nodes_pad=512)
+    g_hyb = build_graph(csr, hybrid=True, min_tile_nnz=4, tile_size=256)
+    assert g_hyb.n_nodes == 512 and g_hyb.bcsr.tile == 256
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 16)).astype(np.float32)
+    a = np.asarray(graphsum(jnp.asarray(x), g_hyb, backend="hybrid"))
+    b = np.asarray(graphsum(jnp.asarray(x), g_seg, backend="segment"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_hybrid_gradient_matches_segment():
     csr, _ = random_graph(256, 6, seed=9)
     g_seg = build_graph(csr, n_nodes_pad=256)
