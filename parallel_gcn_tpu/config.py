@@ -123,6 +123,8 @@ class TPUConfig:
     # bcsr/hybrid tile edge (multiple of 128); larger tiles amortize Pallas
     # grid-step overhead on graphs with big community blocks
     tile_size: int = 128
+    # byte budget for resident Â tiles (hybrid backend)
+    tile_budget_mb: int = 3072
     seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
 
@@ -163,6 +165,7 @@ _KEYMAP = {
     "backend": ("tpu", "backend"),
     "reorder": ("tpu", "reorder"),
     "tile_size": ("tpu", "tile_size"),
+    "tile_budget_mb": ("tpu", "tile_budget_mb"),
     "input_preagg": ("tpu", "input_preagg"),
     "node_pad": ("tpu", "node_pad"),
     "compute_dtype": ("tpu", "compute_dtype"),

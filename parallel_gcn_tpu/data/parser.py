@@ -231,6 +231,7 @@ def to_device(
     n_nodes_pad: int | None = None,
     tile_dtype="float32",
     tile_size: int = 128,
+    tile_budget_mb: int = 3072,
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
@@ -240,6 +241,7 @@ def to_device(
     graph = build_graph(
         ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, hybrid=hybrid,
         n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype), tile_size=tile_size,
+        tile_budget_bytes=tile_budget_mb * 1024 * 1024,
     )
 
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
@@ -296,5 +298,6 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         hybrid=backend == "hybrid",
         tile_dtype=tile_dtype,
         tile_size=cfg.tpu.tile_size,
+        tile_budget_mb=cfg.tpu.tile_budget_mb,
     )
     return ds, dds
