@@ -88,7 +88,9 @@ def main() -> int:
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=None)
     args = ap.parse_args()
-    datasets = args.datasets or ["cora", "citeseer", "pubmed", "reddit"]
+    # accuracy statistics only mean something on real data: cora + citeseer
+    # (pubmed/reddit features are unshipped blobs; see data/synthetic.py)
+    datasets = args.datasets or ["cora", "citeseer"]
 
     os.makedirs("output", exist_ok=True)
     rows = []

@@ -219,6 +219,9 @@ class DeviceDataset:
     input_dim: int
     output_dim: int
     split_counts: dict  # {1: train_dim, 2: val_dim, 3: test_dim}
+    # Â·X, precomputed once for EVAL forwards when the training input dropout
+    # is nonzero (train.preaggregate_input); None until then
+    x_agg: "jax.Array | None" = None
 
 
 def to_device(

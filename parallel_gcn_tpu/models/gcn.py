@@ -86,9 +86,18 @@ class GCNModel:
         *,
         training: bool,
         key: jax.Array | None = None,
+        input_preagg: bool | None = None,
     ) -> jnp.ndarray:
-        """Forward pass → logits [n_nodes, output_dim] (float32)."""
+        """Forward pass → logits [n_nodes, output_dim] (float32).
+
+        ``input_preagg`` overrides the model flag per call: pass True together
+        with ``x = Â·X`` to skip layer 0's aggregation ((Â·X)·W0 == Â·(X·W0)).
+        Callers use this for EVAL forwards even when the training input dropout
+        is nonzero — evaluation never applies dropout, so the hoist is always
+        exact there (see train.preaggregate_input).
+        """
         assert len(weights) == self.n_layers
+        preagg = self.input_preagg if input_preagg is None else input_preagg
         dtype = jnp.dtype(self.compute_dtype)
         h = x.astype(dtype)
         if training and any(d > 0 for d in self.dropouts):
@@ -97,9 +106,9 @@ class GCNModel:
         else:
             keys = [None] * self.n_layers
 
-        if self.input_preagg:
+        if preagg and training:
             assert self.dropouts[0] == 0.0, (
-                "input_preagg is only exact with zero input dropout"
+                "input_preagg is only exact for training with zero input dropout"
             )
         prev = None
         for layer in range(self.n_layers):
@@ -107,7 +116,7 @@ class GCNModel:
             h = feature_transform(h, weights[layer], precision=self.precision).astype(
                 dtype
             )
-            if layer == 0 and self.input_preagg:
+            if layer == 0 and preagg:
                 pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
             else:
                 h = graphsum(

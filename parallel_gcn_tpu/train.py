@@ -73,22 +73,25 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
 def preaggregate_input(
     model: GCNModel, dds: DeviceDataset
 ) -> tuple[GCNModel, DeviceDataset]:
-    """Hoist the input layer's aggregation out of the epoch loop when it is
-    loop-invariant.
+    """Hoist the input layer's aggregation out of the epoch loop wherever it
+    is loop-invariant.
 
     With zero input dropout, layer 0 computes Â·(X·W0) every epoch with
     constant X — algebraically equal to (Â·X)·W0, so Â·X is computed ONCE here
-    and the per-epoch hot path loses its widest SpMM. This is exact (same
-    function, reassociated), and applies to the reference's own tuned
-    pubmed/reddit configs (input dropout 0.0, report p.13 Table 4) — an
-    optimization the modular stream-scheduled CUDA design could not express.
-    No-op when the input dropout is nonzero.
+    and the per-epoch hot path loses its widest SpMM (this applies to the
+    reference's own tuned pubmed/reddit configs, input dropout 0.0,
+    report p.13 Table 4 — an optimization the modular stream-scheduled CUDA
+    design could not express). With NONZERO input dropout the training path
+    must keep its per-epoch dropout→transform→aggregate, but evaluation never
+    applies dropout, so Â·X is still loop-invariant for every eval forward —
+    it is stored in ``dds.x_agg`` and the eval paths skip layer 0's
+    aggregation. Both rewrites are exact (reassociation only).
     """
     import dataclasses
 
     from parallel_gcn_tpu.ops.graphsum import graphsum
 
-    if model.input_preagg or model.dropouts[0] != 0.0:
+    if model.input_preagg or dds.x_agg is not None:
         return model, dds
 
     @jax.jit
@@ -103,8 +106,11 @@ def preaggregate_input(
         )
 
     x_agg = agg(dds.x, dds.graph)
-    model = dataclasses.replace(model, input_preagg=True)
-    dds = dataclasses.replace(dds, x=x_agg)
+    if model.dropouts[0] == 0.0:
+        model = dataclasses.replace(model, input_preagg=True)
+        dds = dataclasses.replace(dds, x=x_agg)
+    else:
+        dds = dataclasses.replace(dds, x_agg=x_agg)
     return model, dds
 
 
@@ -123,8 +129,13 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
     n_val = dds.split_counts[VAL]
     train_mask = jax.device_put(dds.split == TRAIN)
     val_mask = jax.device_put(dds.split == VAL)
+    # eval forwards always skip layer 0's aggregation when Â·X is available
+    # (exact: no dropout at eval; see preaggregate_input)
+    x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
+    eval_preagg = model.input_preagg or dds.x_agg is not None
 
-    def epoch_step(weights, opt_state, key, graph, x, labels, train_mask, val_mask):
+    def epoch_step(weights, opt_state, key, graph, x, x_eval, labels,
+                   train_mask, val_mask):
         def ce_loss(weights, key):
             logits = model.apply(weights, x, graph, training=True, key=key)
             loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
@@ -150,7 +161,9 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
         )
 
         # validation on the updated weights (src/gcn.cu:369 + event graph)
-        val_logits = model.apply(weights, x, graph, training=False)
+        val_logits = model.apply(
+            weights, x_eval, graph, training=False, input_preagg=eval_preagg
+        )
         val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
         val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
 
@@ -161,7 +174,7 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
 
     def bound(weights, opt_state, key):
         return jitted(
-            weights, opt_state, key, dds.graph, dds.x, dds.labels,
+            weights, opt_state, key, dds.graph, dds.x, x_eval_host, dds.labels,
             train_mask, val_mask,
         )
 
@@ -172,9 +185,13 @@ def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -
     mask_host = jax.device_put(dds.split == split)
     n = dds.split_counts[split]
     wd = cfg.adam.weight_decay
+    x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
+    eval_preagg = model.input_preagg or dds.x_agg is not None
 
     def eval_fn(weights, graph, x, labels, mask):
-        logits = model.apply(weights, x, graph, training=False)
+        logits = model.apply(
+            weights, x, graph, training=False, input_preagg=eval_preagg
+        )
         ce, acc = masked_softmax_xent(logits, labels, mask, n)
         loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
         return loss, acc
@@ -182,7 +199,7 @@ def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -
     jitted = jax.jit(eval_fn)
 
     def bound(weights):
-        return jitted(weights, dds.graph, dds.x, dds.labels, mask_host)
+        return jitted(weights, dds.graph, x_eval_host, dds.labels, mask_host)
 
     return bound
 
@@ -200,8 +217,11 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     wd = adam.weight_decay
     train_mask_host = jax.device_put(dds.split == TRAIN)
     val_mask_host = jax.device_put(dds.split == VAL)
+    x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
+    eval_preagg = model.input_preagg or dds.x_agg is not None
 
-    def run(weights, opt_state, key, graph, x, labels, train_mask, val_mask):
+    def run(weights, opt_state, key, graph, x, x_eval, labels, train_mask,
+            val_mask):
         def ce_loss(weights, key):
             logits = model.apply(weights, x, graph, training=True, key=key)
             loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
@@ -218,7 +238,9 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
                 learning_rate=adam.learning_rate, weight_decay=wd,
                 beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
             )
-            val_logits = model.apply(weights, x, graph, training=False)
+            val_logits = model.apply(
+                weights, x_eval, graph, training=False, input_preagg=eval_preagg
+            )
             val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
             val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
             return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
@@ -274,7 +296,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
 
     def bound(weights, opt_state, key):
         return jitted(
-            weights, opt_state, key, dds.graph, dds.x, dds.labels,
+            weights, opt_state, key, dds.graph, dds.x, x_eval_host, dds.labels,
             train_mask_host, val_mask_host,
         )
 

@@ -232,11 +232,14 @@ def test_input_preagg_is_exact():
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
-def test_input_preagg_noop_with_dropout():
-    """Nonzero input dropout must disable the hoist (it would be inexact)."""
+def test_input_preagg_with_dropout_hoists_eval_only():
+    """Nonzero input dropout: the train path must keep per-epoch aggregation
+    (model unchanged), but Â·X is stored for the eval forwards (x_agg), and
+    the metric trajectory must match the unhoisted run exactly (same dropout
+    key sequence; eval has no dropout so the hoist is pure reassociation)."""
     from parallel_gcn_tpu.models.gcn import GCNModel
     from parallel_gcn_tpu.data.parser import Dataset, to_device
-    from parallel_gcn_tpu.train import build_model, preaggregate_input
+    from parallel_gcn_tpu.train import preaggregate_input
 
     csr, x, labels, split = _synthetic()
     ds = Dataset(
@@ -247,7 +250,21 @@ def test_input_preagg_noop_with_dropout():
     dds = to_device(ds)
     model = GCNModel(n_layers=2, dropouts=(0.5, 0.5), backend="segment")
     model2, dds2 = preaggregate_input(model, dds)
-    assert model2 is model and dds2 is dds
+    assert model2.input_preagg is False
+    assert dds2.x_agg is not None
+
+    def run(preagg):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.4, 0.3),
+                          epochs=12, early_stopping=0),
+            tpu=TPUConfig(backend="segment", input_preagg=preagg, seed=3),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        return fit(cfg, dds)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-4, atol=1e-5)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
 def test_checkpoint_resume(tmp_path):
