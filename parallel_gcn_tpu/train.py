@@ -245,6 +245,23 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
             return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
 
+        if k == 0:
+            # no early stopping: a plain scan — no stopped-lane freezing, no
+            # val-loss history, no dynamic metric writes. At citation-graph
+            # scale the epoch is kernel-launch-bound, so dropping ~15 tiny
+            # bookkeeping ops per epoch is a measurable win.
+            def scan_body(carry, _):
+                weights, opt_state, key = carry
+                weights, opt_state, key, tl, ta, vl, va = one_epoch(
+                    weights, opt_state, key
+                )
+                return (weights, opt_state, key), jnp.stack([tl, ta, vl, va])
+
+            (weights, opt_state, _), metrics = jax.lax.scan(
+                scan_body, (weights, opt_state, key), None, length=epochs
+            )
+            return weights, opt_state, metrics, jnp.asarray(epochs, jnp.int32)
+
         metrics0 = jnp.zeros((epochs, 4), jnp.float32)
         hist0 = jnp.zeros((epochs,), jnp.float32)  # val-loss history
 
