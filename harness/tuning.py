@@ -66,15 +66,21 @@ def sweep(dataset: str, preset: str, seeds: int, epochs: int):
         cfg.tpu.matmul_precision = "default"
         cfg.train.verbose = False
         model = build_model(cfg, dds)
+        # keep the shared ``dds`` pristine: preaggregate_input swaps x for Â·X
+        # when this config's input dropout is 0, which must not leak into the
+        # next config's raw-X training path
+        cfg_model, cfg_dds = model, dds
         if cfg.tpu.input_preagg:
-            model, dds = preaggregate_input(model, dds)
-        run = _make_scan_run(model, cfg, dds)
+            cfg_model, cfg_dds = preaggregate_input(model, dds)
+        run = _make_scan_run(cfg_model, cfg, cfg_dds)
 
         init_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seeds))
         run_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seeds) + 10_000)
 
         def one(ik, rk):
-            w = init_params(ik, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim)
+            w = init_params(
+                ik, cfg_dds.input_dim, cfg.gcn.hidden_dims, cfg_dds.output_dim
+            )
             weights, _, metrics, epochs_run = run(w, init_adam(w), rk)
             return metrics[jnp.maximum(epochs_run - 1, 0)][3]
 

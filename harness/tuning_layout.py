@@ -1,0 +1,119 @@
+"""Execution-layout tuning harness — the TPU analog of the reference's
+tuning_cuda sweep (test/tuning_cuda.cpp: grid search over blocks-factor ×
+thread counts per dataset).
+
+On TPU there is no launch geometry; the equivalent knobs are the aggregation
+backend, the node reordering, and the block-sparse tile size/budget. This
+sweeps them for one dataset, measures fused-run epoch time on the real chip,
+and writes output/tuning_layout_tpu.txt sorted fastest-first — the numbers
+that justify each parameters/parameters_<dataset>.txt layout choice.
+
+Usage:
+    python harness/tuning_layout.py <dataset> [--epochs N] [--reps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from parallel_gcn_tpu.config import default_params_path, load_config
+from parallel_gcn_tpu.data.parser import prepare_device_dataset
+from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.optim import init_adam
+from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
+
+# (backend, reorder, tile_size); tile_size is ignored outside bcsr/hybrid
+GRID = {
+    "backend": ["dense", "segment", "hybrid"],
+    "reorder": ["none", "rcm", "community"],
+    "tile_size": [128, 256, 512],
+}
+
+
+def time_layout(dataset: str, backend: str, reorder: str, tile: int,
+                epochs: int, reps: int) -> float | None:
+    cfg = load_config(default_params_path(dataset))
+    cfg.gcn.epochs = epochs
+    cfg.gcn.early_stopping = 0
+    cfg.train.verbose = False
+    cfg.tpu.matmul_precision = "default"
+    cfg.tpu.backend = backend
+    cfg.tpu.reorder = reorder
+    cfg.tpu.tile_size = tile
+    try:
+        ds, dds = prepare_device_dataset(cfg, dataset)
+        model = build_model(cfg, dds)
+        if cfg.tpu.input_preagg:
+            model, dds = preaggregate_input(model, dds)
+        run = _make_scan_run(model, cfg, dds)
+        key = jax.random.PRNGKey(cfg.tpu.seed)
+
+        def once():
+            w = init_params(
+                jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
+                cfg.gcn.hidden_dims, dds.output_dim,
+            )
+            out = run(w, init_adam(w), key)
+            np.asarray(out[2])
+
+        once()
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            once()
+            times.append((time.perf_counter() - t0) / epochs * 1e3)
+        return min(times)
+    except Exception as e:  # OOM / unsupported combo: record and move on
+        print(f"  {backend}/{reorder}/t{tile}: failed ({type(e).__name__})",
+              file=sys.stderr, flush=True)
+        return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset")
+    ap.add_argument("--epochs", type=int, default=500)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    rows = []
+    seen = set()
+    for backend, reorder, tile in itertools.product(
+        GRID["backend"], GRID["reorder"], GRID["tile_size"]
+    ):
+        # tile size only matters for tile-based backends — dedupe the rest
+        key = (backend, reorder, tile if backend in ("bcsr", "hybrid") else 0)
+        if key in seen:
+            continue
+        seen.add(key)
+        ms = time_layout(args.dataset, backend, reorder, tile,
+                         args.epochs, args.reps)
+        if ms is None:
+            continue
+        label = f"{backend}/{reorder}" + (
+            f"/t{tile}" if backend in ("bcsr", "hybrid") else ""
+        )
+        print(f"{args.dataset} {label:24s} epoch {ms:.4f} ms", flush=True)
+        rows.append((ms, label))
+
+    rows.sort()
+    os.makedirs("output", exist_ok=True)
+    with open("output/tuning_layout_tpu.txt", "w") as f:
+        for ms, label in rows:
+            f.write(f"{ms:.4f} {args.dataset} {label}\n")
+    if rows:
+        print(f"\nbest: {rows[0][1]} at {rows[0][0]:.4f} ms/epoch")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
