@@ -68,7 +68,13 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     print("TRAINING AND EVALUATION OF GCN:")
-    result = fit(cfg, dds)
+    if cfg.tpu.n_devices > 1:
+        from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+        print(f"multi-chip: {cfg.tpu.n_devices} devices, halo={cfg.tpu.halo}")
+        result = fit_parallel(cfg, ds)
+    else:
+        result = fit(cfg, dds)
     print(
         f"epochs_run={result.epochs_run} "
         f"avg_epoch_time={result.avg_epoch_time_s * 1e3:.3f} ms"

@@ -125,6 +125,10 @@ class TPUConfig:
     tile_size: int = 128
     # byte budget for resident Â tiles (hybrid backend)
     tile_budget_mb: int = 3072
+    # multi-chip training: number of mesh devices (0/1 = single-chip path)
+    # and the halo-exchange strategy for the node-partitioned aggregation
+    n_devices: int = 0
+    halo: str = "all_gather"  # all_gather | ring (ppermute block rotation)
     seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
 
@@ -166,6 +170,8 @@ _KEYMAP = {
     "reorder": ("tpu", "reorder"),
     "tile_size": ("tpu", "tile_size"),
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
+    "n_devices": ("tpu", "n_devices"),
+    "halo": ("tpu", "halo"),
     "input_preagg": ("tpu", "input_preagg"),
     "node_pad": ("tpu", "node_pad"),
     "compute_dtype": ("tpu", "compute_dtype"),

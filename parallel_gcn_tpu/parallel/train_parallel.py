@@ -114,28 +114,13 @@ def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=A
     return loss, correct / jnp.float32(num_samples)
 
 
-def make_parallel_epoch_step(
-    cfg: Config,
-    mesh: Mesh,
-    sgraph: ShardedGraph,
-    split_counts: dict,
-):
-    """Build the jitted multi-chip epoch step.
-
-    Signature: (weights, opt_state, key, x, labels, split) ->
-               (weights', opt_state', key', metrics[4])
-    where x/labels/split are row-sharded over the mesh and weights/opt are
-    replicated.
-    """
-    adam = cfg.adam
-    wd = adam.weight_decay
+def _make_forward(cfg: Config, sgraph: ShardedGraph):
+    """Shared sharded forward used by the train step and eval fns."""
     dropouts = tuple(cfg.gcn.dropouts)
     n_layers = cfg.gcn.n_layers
     n_local = sgraph.n_local
     n_dev = sgraph.n_dev
     ring = sgraph.ring
-    n_train = split_counts[TRAIN]
-    n_val = split_counts[VAL]
     precision = cfg.tpu.matmul_precision
 
     def _aggregate(h, rowl, colg, val):
@@ -158,6 +143,29 @@ def make_parallel_epoch_step(
             if layer < n_layers - 1:
                 h = jax.nn.relu(h)
         return h
+
+    return forward
+
+
+def make_parallel_epoch_step(
+    cfg: Config,
+    mesh: Mesh,
+    sgraph: ShardedGraph,
+    split_counts: dict,
+):
+    """Build the jitted multi-chip epoch step.
+
+    Signature: (weights, opt_state, key, x, labels, split) ->
+               (weights', opt_state', key', metrics[4])
+    where x/labels/split are row-sharded over the mesh and weights/opt are
+    replicated.
+    """
+    adam = cfg.adam
+    wd = adam.weight_decay
+    ring = sgraph.ring
+    n_train = split_counts[TRAIN]
+    n_val = split_counts[VAL]
+    forward = _make_forward(cfg, sgraph)
 
     def step(weights, opt_state, key, x_local, labels_local, split_local,
              rowl, colg, val):
@@ -202,6 +210,132 @@ def make_parallel_epoch_step(
         check_vma=False,
     )
     return jax.jit(sharded_step, donate_argnums=(0, 1))
+
+
+def make_parallel_eval_fn(
+    cfg: Config,
+    mesh: Mesh,
+    sgraph: ShardedGraph,
+    split_counts: dict,
+    split: int,
+):
+    """Jitted multi-chip eval on one split: (weights, *inputs) -> (loss, acc).
+
+    Counterpart of GCN::eval (src/gcn.cu:293-303) over the node-partitioned
+    graph; loss includes the wd*||W0||^2/2 term like finalize
+    (src/gcn.cu:440-455)."""
+    wd = cfg.adam.weight_decay
+    n = split_counts[split]
+    ring = sgraph.ring
+    forward = _make_forward(cfg, sgraph)
+
+    def eval_step(weights, x_local, labels_local, split_local, rowl, colg, val):
+        rowl, colg, val = rowl[0], colg[0], val[0]
+        logits = forward(weights, x_local, rowl, colg, val, False, None)
+        ce, acc = _masked_ce_local(logits, labels_local, split_local == split, n)
+        loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        return loss, acc
+
+    slab_spec = P(AXIS, None, None) if ring else P(AXIS, None)
+    sharded = jax.shard_map(
+        eval_step,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(AXIS, None), P(AXIS), P(AXIS),
+            slab_spec, slab_spec, slab_spec,
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def fit_parallel(
+    cfg: Config,
+    ds,
+    *,
+    n_devices: int | None = None,
+    halo: str | None = None,
+    key=None,
+    verbose: bool | None = None,
+):
+    """Complete multi-chip training run — the mesh counterpart of train.fit:
+    node-partition the graph, train with per-epoch val metrics and the
+    reference's early-stopping rule (mean of last k val losses,
+    src/gcn.cu:377-395), then evaluate the test split.
+
+    ``halo``: "all_gather" (full remote feature gather) or "ring"
+    (ppermute block rotation). Defaults from cfg.tpu.halo.
+    """
+    import time as _time
+
+    from parallel_gcn_tpu.models.gcn import init_params
+    from parallel_gcn_tpu.optim import init_adam
+    from parallel_gcn_tpu.parallel.partition import (
+        partition_graph,
+        partition_graph_ring,
+    )
+    from parallel_gcn_tpu.train import FitResult
+
+    halo = halo or cfg.tpu.halo
+    n_devices = n_devices or cfg.tpu.n_devices or len(jax.devices())
+    verbose = cfg.train.verbose if verbose is None else verbose
+
+    part = partition_graph_ring if halo == "ring" else partition_graph
+    sgraph = part(ds.graph, n_devices, node_pad=cfg.tpu.node_pad)
+    mesh = make_mesh(n_devices)
+    x, labels, split = shard_dataset(ds, sgraph)
+    inputs = device_put_sharded_inputs(mesh, sgraph, x, labels, split)
+    counts = {s: int((ds.split == s).sum()) for s in (TRAIN, VAL, 3)}
+
+    step = make_parallel_epoch_step(cfg, mesh, sgraph, counts)
+    test_fn = make_parallel_eval_fn(cfg, mesh, sgraph, counts, split=3)
+
+    if key is None:
+        key = jax.random.PRNGKey(cfg.tpu.seed)
+    key, init_key = jax.random.split(key)
+    weights = init_params(
+        init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
+    )
+    opt_state = init_adam(weights)
+
+    k = cfg.gcn.early_stopping
+    rows = []
+    t0 = _time.perf_counter()
+    for epoch in range(1, cfg.gcn.epochs + 1):
+        te = _time.perf_counter()
+        weights, opt_state, key, metrics = step(weights, opt_state, key, *inputs)
+        tl, ta, vl, va = (float(v) for v in metrics)
+        rows.append((tl, ta, vl, va))
+        if verbose:
+            print(
+                f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
+                f"val_loss={vl:.5f} val_acc={va:.5f} "
+                f"time={_time.perf_counter() - te:.5f}"
+            )
+        if k > 0 and epoch >= k:
+            window = [r[2] for r in rows[-k:]]
+            if vl > float(np.mean(window)):
+                if verbose:
+                    print("Early stopping...")
+                break
+    total = _time.perf_counter() - t0
+
+    test_loss, test_acc = (float(v) for v in test_fn(weights, *inputs))
+    if verbose:
+        print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f}")
+
+    history = np.asarray(rows, dtype=np.float32)
+    return FitResult(
+        weights=weights,
+        history=history,
+        epochs_run=len(rows),
+        test_loss=test_loss,
+        test_acc=test_acc,
+        avg_epoch_time_s=total / max(len(rows), 1),
+        total_time_s=total,
+    )
 
 
 def device_put_sharded_inputs(mesh: Mesh, sgraph: ShardedGraph, x, labels, split):

@@ -173,6 +173,25 @@ def test_graphsum_ring_gradient_matches_dense():
 
 
 @pytest.mark.parametrize("halo", ["all_gather", "ring"])
+def test_fit_parallel_end_to_end(halo):
+    """The complete multi-chip driver: trains, evaluates test, early-stops."""
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    ds = _dataset()
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                      epochs=40, early_stopping=8),
+        tpu=TPUConfig(backend="segment", seed=7, n_devices=8, halo=halo),
+        train=TrainConfig(verbose=False),
+    )
+    res = fit_parallel(cfg, ds)
+    assert res.history[-1, 0] < res.history[0, 0]  # train loss decreased
+    assert res.test_acc > 0.5  # separable synthetic problem
+    assert 1 <= res.epochs_run <= 40
+    assert np.isfinite(res.history).all()
+
+
+@pytest.mark.parametrize("halo", ["all_gather", "ring"])
 def test_parallel_training_learns_and_matches_metrics(halo):
     """8-way node-parallel training must produce the same metrics trajectory as
     single-device training (identical weights, no dropout)."""
