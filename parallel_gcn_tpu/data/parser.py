@@ -289,7 +289,11 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         ds = permute_dataset(ds, order_fn(ds.graph))
 
     backend = cfg.tpu.backend
-    dense = backend in ("auto", "dense") and ds.n_nodes <= cfg.tpu.dense_threshold
+    # an explicit dense request is honored at any size; "auto" only goes dense
+    # below the threshold (the adj is n_pad^2 floats)
+    dense = backend == "dense" or (
+        backend == "auto" and ds.n_nodes <= cfg.tpu.dense_threshold
+    )
     # bf16 tiles double the coverage per byte of tile budget; keep true-f32
     # tiles only when full f32 parity is requested
     tile_dtype = "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
