@@ -115,6 +115,31 @@ def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
     return HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
 
 
+def local_clustering_coefficient(csr: HostCSR) -> np.ndarray:
+    """Per-node local clustering coefficient.
+
+    Mirrors the reference parser's (unused) experiment
+    (src/parser.cpp:135-162): triangles through each node divided by
+    deg·(deg−1), degrees EXCLUDING the self-loop. Host-side preprocessing,
+    O(Σ deg²) like the reference's nested neighbor scan.
+    """
+    n = csr.n_rows
+    # strip self-loops: neighbor sets per node, sorted
+    nbrs = []
+    for i in range(n):
+        row = csr.indices[csr.indptr[i] : csr.indptr[i + 1]]
+        nbrs.append(np.asarray(sorted(int(c) for c in row if c != i), dtype=np.int64))
+    out = np.zeros(n, dtype=np.float32)
+    for i in range(n):
+        d = len(nbrs[i])
+        if d < 2:
+            continue
+        links = sum(np.isin(nbrs[j], nbrs[i], assume_unique=True).sum()
+                    for j in nbrs[i])
+        out[i] = np.float32(links) / np.float32(d * (d - 1))
+    return out
+
+
 def split_dense_tiles(
     rows: np.ndarray,
     cols: np.ndarray,

@@ -119,3 +119,24 @@ def test_native_loader_matches_python():
     np.testing.assert_array_equal(feats.indices, ds.feature_csr.indices)
     np.testing.assert_allclose(feats.values, ds.feature_csr.values, rtol=1e-6)
     assert (input_dim, output_dim) == (ds.input_dim, ds.output_dim)
+
+
+def test_local_clustering_coefficient():
+    """Triangle graph + pendant: verify against hand-computed values
+    (reference parser experiment, src/parser.cpp:135-162)."""
+    from parallel_gcn_tpu.data.graph import (
+        add_self_loops_csr,
+        local_clustering_coefficient,
+    )
+
+    # nodes 0,1,2 form a triangle; node 3 hangs off node 0
+    nb = [
+        np.array([1, 2, 3], dtype=np.int32),
+        np.array([0, 2], dtype=np.int32),
+        np.array([0, 1], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+    ]
+    csr = add_self_loops_csr(nb)
+    c = local_clustering_coefficient(csr)
+    # node 0: neighbors {1,2,3}, links among them = (1,2),(2,1) -> 2/(3*2)
+    np.testing.assert_allclose(c, [2 / 6, 1.0, 1.0, 0.0], rtol=1e-6)
