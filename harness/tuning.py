@@ -28,7 +28,7 @@ from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
+from parallel_gcn_tpu.train import _make_scan_run, build_model
 
 # reference grids (test/tuning_accuracy.cpp:56-83), trimmed to fit a round
 PRESETS = {
@@ -48,9 +48,26 @@ PRESETS = {
 
 
 def sweep(dataset: str, preset: str, seeds: int, epochs: int):
+    import dataclasses
+
+    import jax.numpy as jnp_  # noqa: F401  (jax already imported)
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
     base = load_config(default_params_path(dataset))
     base.tpu.matmul_precision = "default"
     ds, dds = prepare_device_dataset(base, dataset)
+
+    # Â·X is config-independent — compute it ONCE for the whole sweep instead
+    # of once per grid point inside preaggregate_input
+    base_model = build_model(base, dds)
+    x_agg_once = jax.jit(
+        lambda x, g: graphsum(
+            x, g, backend=base_model.backend,
+            edge_chunk=base_model.edge_chunk,
+            dense_threshold=base_model.dense_threshold,
+            precision=base_model.precision,
+        )
+    )(dds.x, dds.graph)
 
     grid = PRESETS[preset]
     results = []
@@ -66,12 +83,15 @@ def sweep(dataset: str, preset: str, seeds: int, epochs: int):
         cfg.tpu.matmul_precision = "default"
         cfg.train.verbose = False
         model = build_model(cfg, dds)
-        # keep the shared ``dds`` pristine: preaggregate_input swaps x for Â·X
-        # when this config's input dropout is 0, which must not leak into the
-        # next config's raw-X training path
+        # keep the shared ``dds`` pristine (a dropout-0 config swaps x for Â·X)
+        # and reuse the sweep-wide Â·X instead of recomputing it per config
         cfg_model, cfg_dds = model, dds
         if cfg.tpu.input_preagg:
-            cfg_model, cfg_dds = preaggregate_input(model, dds)
+            if model.dropouts[0] == 0.0:
+                cfg_model = dataclasses.replace(model, input_preagg=True)
+                cfg_dds = dataclasses.replace(dds, x=x_agg_once)
+            else:
+                cfg_dds = dataclasses.replace(dds, x_agg=x_agg_once)
         run = _make_scan_run(cfg_model, cfg, cfg_dds)
 
         init_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seeds))

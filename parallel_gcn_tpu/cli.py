@@ -60,7 +60,12 @@ def main(argv: list[str] | None = None) -> int:
     cfg = load_config(params_file or default_params_path(dataset), overrides)
 
     print(f"PARSING {dataset} ...")
-    ds, dds = prepare_device_dataset(cfg, dataset)
+    if cfg.tpu.n_devices > 1:
+        from parallel_gcn_tpu.data.parser import prepare_host_dataset
+
+        ds, dds = prepare_host_dataset(cfg, dataset), None
+    else:
+        ds, dds = prepare_device_dataset(cfg, dataset)
     print(
         f"nodes={ds.n_nodes} edges(nnz incl self-loops)={ds.graph.nnz} "
         f"features={ds.input_dim} classes={ds.output_dim} "

@@ -41,16 +41,18 @@ _DATA_DIR_CANDIDATES = (
 )
 
 
-def find_data_dir(dataset: str, data_dir: str = "") -> str:
+def find_data_dir(
+    dataset: str, data_dir: str = "", exts=("graph", "svmlight", "split")
+) -> str:
     candidates = [data_dir] if data_dir else list(_DATA_DIR_CANDIDATES)
     for cand in candidates:
         if cand and all(
             os.path.exists(os.path.join(cand, f"{dataset}.{ext}"))
-            for ext in ("graph", "svmlight", "split")
+            for ext in exts
         ):
             return cand
     raise FileNotFoundError(
-        f"dataset {dataset!r} not found; searched {candidates}. "
+        f"dataset {dataset!r} not found (need {exts}); searched {candidates}. "
         "Set PGCN_DATA_DIR or pass data_dir."
     )
 
@@ -266,12 +268,9 @@ def to_device(
     )
 
 
-def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
-    """Load → (optionally) reorder → device layout, driven by one Config.
-
-    The single entry point used by the CLI, bench, and harnesses so that the
-    reorder/backends knobs behave identically everywhere.
-    """
+def prepare_host_dataset(cfg, name: str) -> Dataset:
+    """Load + (optionally) reorder — the host-side half of data preparation,
+    shared by the single-chip device layout and the multi-chip partitioner."""
     ds = load_dataset(
         name, cfg.data.data_dir, binarize_features=cfg.data.binarize_features
     )
@@ -287,6 +286,16 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
             cfg.tpu.reorder
         ]
         ds = permute_dataset(ds, order_fn(ds.graph))
+    return ds
+
+
+def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
+    """Load → (optionally) reorder → device layout, driven by one Config.
+
+    The single entry point used by the CLI, bench, and harnesses so that the
+    reorder/backends knobs behave identically everywhere.
+    """
+    ds = prepare_host_dataset(cfg, name)
 
     backend = cfg.tpu.backend
     # an explicit dense request is honored at any size; "auto" only goes dense

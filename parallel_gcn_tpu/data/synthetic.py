@@ -269,19 +269,8 @@ def make_synth_feature_dataset(name: str, seed: int = 19990304, data_dir: str = 
 
     spec = SYNTH_FEATURE_SPECS[name]
     real = spec["real_name"]
-    # find the dir containing .graph/.split (svmlight intentionally not required)
-    directory = ""
-    from parallel_gcn_tpu.data.parser import _DATA_DIR_CANDIDATES
-
-    for cand in ([data_dir] if data_dir else list(_DATA_DIR_CANDIDATES)):
-        if cand and all(
-            _os.path.exists(_os.path.join(cand, f"{real}.{ext}"))
-            for ext in ("graph", "split")
-        ):
-            directory = cand
-            break
-    if not directory:
-        raise FileNotFoundError(f"{real}.graph/.split not found for {name}")
+    # .svmlight intentionally not required — it is the missing blob
+    directory = find_data_dir(real, data_dir, exts=("graph", "split"))
 
     graph = parse_graph_file(_os.path.join(directory, f"{real}.graph"))
     split = parse_split_file(_os.path.join(directory, f"{real}.split"))
@@ -324,13 +313,16 @@ def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
     n_nodes = spec["n_nodes"]
     rng = np.random.default_rng(seed ^ 0x5EED)
 
-    graph = _cache_load(name, seed) if name in SYNTHETIC_SPECS else None
+    # the disk cache is keyed by (name, seed, generator version) only — it is
+    # valid solely for REGISTERED specs loaded without overrides
+    cacheable = name in SYNTHETIC_SPECS and not overrides
+    graph = _cache_load(name, seed) if cacheable else None
     if graph is None or graph.n_rows != n_nodes:
         graph = synthetic_csr(
             n_nodes, spec["n_edges"], seed=seed,
             structure=spec.get("structure", "community"),
         )
-        if name in SYNTHETIC_SPECS:
+        if cacheable:
             _cache_save(name, seed, graph)
     feature_csr, features = synthetic_features(
         n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng

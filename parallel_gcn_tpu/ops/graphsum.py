@@ -140,9 +140,10 @@ def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> 
             backend = "dense"
         else:
             backend = "segment"
-    if backend == "bcsr" and graph.is_hybrid:
-        # the tile pack holds only the dense tiles; dropping the residual
-        # would silently compute the wrong aggregation
+    if backend in ("bcsr", "segment") and graph.is_hybrid:
+        # a hybrid-built graph keeps only the dense tiles in bcsr and only the
+        # residual edges in row/col/val — serving either alone would silently
+        # compute a wrong aggregation
         backend = "hybrid"
     return backend
 

@@ -280,6 +280,13 @@ def fit_parallel(
 
     halo = halo or cfg.tpu.halo
     n_devices = n_devices or cfg.tpu.n_devices or len(jax.devices())
+    avail = len(jax.devices())
+    if n_devices > avail:
+        raise RuntimeError(
+            f"fit_parallel needs {n_devices} devices, have {avail}; for a "
+            "virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_devices} before importing jax"
+        )
     verbose = cfg.train.verbose if verbose is None else verbose
 
     part = partition_graph_ring if halo == "ring" else partition_graph

@@ -212,6 +212,10 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     adam = cfg.adam
     epochs = cfg.gcn.epochs
     k = cfg.gcn.early_stopping
+    if k > epochs:
+        # the stopping test (epoch+1 >= k) can never fire — and the k-sized
+        # window would not fit the epochs-sized history buffer
+        k = 0
     n_train = dds.split_counts[TRAIN]
     n_val = dds.split_counts[VAL]
     wd = adam.weight_decay
