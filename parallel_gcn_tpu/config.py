@@ -120,9 +120,12 @@ class TPUConfig:
     # hoist the input layer's Â·X out of the epoch loop when input dropout is 0
     # (exact rewrite; see train.preaggregate_input)
     input_preagg: bool = True
-    # bcsr/hybrid tile edge (multiple of 128); larger tiles amortize Pallas
+    # bcsr/hybrid tile rows (multiple of 128); larger tiles amortize Pallas
     # grid-step overhead on graphs with big community blocks
     tile_size: int = 128
+    # tile columns (0 = square); wide tiles suit banded (RCM) structure —
+    # must be a multiple of tile_size
+    tile_cols: int = 0
     # byte budget for resident Â tiles (hybrid backend)
     tile_budget_mb: int = 3072
     # multi-chip training: number of mesh devices (0/1 = single-chip path)
@@ -170,6 +173,7 @@ _KEYMAP = {
     "reorder": ("tpu", "reorder"),
     "tile_size": ("tpu", "tile_size"),
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
+    "tile_cols": ("tpu", "tile_cols"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
     "input_preagg": ("tpu", "input_preagg"),

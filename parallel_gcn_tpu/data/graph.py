@@ -148,22 +148,28 @@ def split_dense_tiles(
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     tile: int = 128,
     bytes_per_elem: int = 4,
+    tile_c: int | None = None,
 ) -> np.ndarray:
-    """Boolean mask of edges living in "dense-enough" tile×tile blocks.
+    """Boolean mask of edges living in "dense-enough" tile_r×tile_c blocks.
 
     A tile qualifies when its nnz ≥ threshold, where the threshold is the
     smallest value ≥ ``min_tile_nnz`` whose qualified tiles fit the byte
-    budget. The cut is a pure function of per-tile nnz — and Â's sparsity
-    pattern is symmetric — so the qualified edge set is symmetric too, which
-    keeps the backward-equals-forward shortcut valid for both the tile part
-    and the COO residual.
+    budget. An edge enters the tile part only if BOTH its tile and its
+    mirror edge's tile qualify — this keeps the tile-part matrix symmetric
+    (Â is symmetric) for ANY tile geometry, which the backward-equals-forward
+    shortcut relies on for both the tile part and the COO residual. (For
+    square tiles the mirror tile has identical nnz, so the AND is a no-op.)
     """
-    ntc = n_pad // tile
-    tid = (rows.astype(np.int64) // tile) * ntc + cols.astype(np.int64) // tile
+    tile_r = tile
+    tile_c = tile_c or tile_r
+    ntc = n_pad // tile_c
+    r64 = rows.astype(np.int64)
+    c64 = cols.astype(np.int64)
+    tid = (r64 // tile_r) * ntc + c64 // tile_c
     uniq, inverse = np.unique(tid, return_inverse=True)
     counts = np.bincount(inverse)
 
-    tile_bytes = tile * tile * bytes_per_elem
+    tile_bytes = tile_r * tile_c * bytes_per_elem
     if min_tile_nnz is None:
         # break-even vs the COO gather path: a tile is worth streaming when
         # tile_bytes/HBM_BW < nnz x ~15 ns/edge (measured v5e gather rate)
@@ -174,7 +180,22 @@ def split_dense_tiles(
     cs = np.sort(counts)[::-1]
     if (cs >= thresh).sum() > max_tiles:
         thresh = int(cs[max_tiles - 1]) + 1
-    return (counts >= thresh)[inverse]
+
+    qualified = counts >= thresh
+    mask = qualified[inverse]
+    if tile_r != tile_c:
+        # symmetrize the edge split: the mirror edge (c, r) lives in a
+        # differently-shaped grid cell — require its tile to qualify too
+        qual_tids = uniq[qualified]
+        mirror_tid = (c64 // tile_r) * ntc + r64 // tile_c
+        pos = np.searchsorted(qual_tids, mirror_tid)
+        pos = np.clip(pos, 0, max(len(qual_tids) - 1, 0))
+        mirror_ok = (
+            (qual_tids[pos] == mirror_tid) if len(qual_tids) else
+            np.zeros(len(mirror_tid), dtype=bool)
+        )
+        mask = mask & mirror_ok
+    return mask
 
 
 def build_graph(
@@ -190,6 +211,7 @@ def build_graph(
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     tile_dtype=np.float32,
     tile_size: int = 128,
+    tile_cols: int = 0,
 ) -> Graph:
     """Pad a host CSR into the static-shaped device Graph.
 
@@ -199,8 +221,9 @@ def build_graph(
     tiles (see ``split_dense_tiles``) and keeps the remaining edges as the COO
     residual in row/col/val — the layout for ops.graphsum's "hybrid" backend.
     """
+    tile_cols = tile_cols or tile_size
     if bcsr or hybrid:
-        node_pad = max(node_pad, tile_size)
+        node_pad = max(node_pad, tile_cols)
     n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
 
     rows_np = csr.row_ids()
@@ -214,10 +237,11 @@ def build_graph(
         in_tiles = split_dense_tiles(
             rows_np, cols_np, n_pad, min_tile_nnz, tile_budget_bytes,
             tile=tile_size, bytes_per_elem=np.dtype(tile_dtype).itemsize,
+            tile_c=tile_cols,
         )
         bcsr_pack = build_bcsr(
             rows_np[in_tiles], cols_np[in_tiles], vals_np[in_tiles], n_pad,
-            dtype=tile_dtype, tile=tile_size,
+            dtype=tile_dtype, tile=tile_size, tile_c=tile_cols,
         )
         rows_np = rows_np[~in_tiles]
         cols_np = cols_np[~in_tiles]

@@ -236,16 +236,18 @@ def to_device(
     n_nodes_pad: int | None = None,
     tile_dtype="float32",
     tile_size: int = 128,
+    tile_cols: int = 0,
     tile_budget_mb: int = 3072,
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
     if bcsr or hybrid:
-        node_pad = max(node_pad, tile_size)
+        node_pad = max(node_pad, tile_cols or tile_size)
     n_pad = n_nodes_pad or pad_to_multiple(ds.n_nodes, node_pad)
     graph = build_graph(
         ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, hybrid=hybrid,
         n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype), tile_size=tile_size,
+        tile_cols=tile_cols,
         tile_budget_bytes=tile_budget_mb * 1024 * 1024,
     )
 
@@ -314,6 +316,7 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         hybrid=backend == "hybrid",
         tile_dtype=tile_dtype,
         tile_size=cfg.tpu.tile_size,
+        tile_cols=cfg.tpu.tile_cols,
         tile_budget_mb=cfg.tpu.tile_budget_mb,
     )
     return ds, dds

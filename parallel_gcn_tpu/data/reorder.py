@@ -82,17 +82,35 @@ def community_order(
     n = csr.n_rows
     rows = csr.row_ids().astype(np.int64)
     cols = csr.indices.astype(np.int64)
+    deg = np.diff(csr.indptr).astype(np.int64)
+
+    # Exclude hub-incident edges from the propagation: hubs carry most of the
+    # INTER-community edges, and their high degree lets them broadcast a
+    # foreign label through whole communities, merging clusters (measured on
+    # synth-reddit: 8.3K vs 4.8K occupied 512-tiles with/without exclusion).
+    # The hubs end up in the leading block regardless.
+    if hub_block > 0:
+        hub = np.zeros(n, dtype=bool)
+        hub[np.argsort(-deg, kind="stable")[:hub_block]] = True
+        keep = ~(hub[rows] | hub[cols])
+        rows_lp, cols_lp = rows[keep], cols[keep]
+    else:
+        rows_lp, cols_lp = rows, cols
+
     labels = np.arange(n, dtype=np.int64)
     for _ in range(n_iters):
-        key = rows * n + labels[cols]
+        key = rows_lp * n + labels[cols_lp]
         uk, counts = np.unique(key, return_counts=True)
         r = uk // n
         lab = uk % n
         order = np.lexsort((lab, counts, r))  # per row: by count, then label
+        # rows with no surviving edges keep their current label
         last = np.searchsorted(r[order], np.arange(n), side="right") - 1
-        labels = lab[order][last]  # every row is present (self-loop)
-
-    deg = np.diff(csr.indptr).astype(np.int64)
+        first = np.searchsorted(r[order], np.arange(n), side="left")
+        present = first <= last
+        new_labels = labels.copy()
+        new_labels[present] = lab[order][last[present]]
+        labels = new_labels
     nonhub = np.ones(n, dtype=np.int8)
     if hub_block > 0:
         nonhub[np.argsort(-deg, kind="stable")[:hub_block]] = 0

@@ -35,12 +35,24 @@ _FEAT_TILE = 128
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BCSR:
-    """Sorted-by-row pack of nonempty tile×tile blocks of Â."""
+    """Sorted-by-row pack of nonempty tile_r×tile_c blocks of Â.
 
-    tiles: jnp.ndarray  # [T, tile, tile] — dense tile data (f32 or bf16)
+    Rectangular tiles matter: after a bandwidth-reducing reorder a tile-row's
+    occupied columns are contiguous, so wide tiles (tile_c ≫ tile_r) cover the
+    same edges in fewer grid steps — the per-step overhead (~0.3 µs on v5e) is
+    the dominant cost once tiles stream near HBM bandwidth.
+
+    NOTE (symmetry): with tile_r == tile_c the pack of Â equals the pack of Âᵀ
+    (Â symmetric), so backward reuses the forward tiles. With rectangular
+    tiles that no longer holds; bcsr_matmul's VJP therefore transposes each
+    tile and swaps the row/col indices — same bytes, one extra transposed
+    gather pattern (see _bcsr_matmul VJP).
+    """
+
+    tiles: jnp.ndarray  # [T, tile_r, tile_c] — dense tile data (f32 or bf16)
     tile_rows: jnp.ndarray  # int32 [T] — tile-row index, ascending
     tile_cols: jnp.ndarray  # int32 [T]
-    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded, tile-multiple
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded
     n_tiles_real: int = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -51,6 +63,14 @@ class BCSR:
     def tile(self) -> int:
         return self.tiles.shape[1]
 
+    @property
+    def tile_r(self) -> int:
+        return self.tiles.shape[1]
+
+    @property
+    def tile_c(self) -> int:
+        return self.tiles.shape[2]
+
 
 def build_bcsr(
     rows: np.ndarray,
@@ -59,27 +79,31 @@ def build_bcsr(
     n_nodes: int,
     dtype=np.float32,
     tile: int = TILE,
+    tile_c: int | None = None,
 ) -> BCSR:
-    """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a ``tile``
+    """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a tile-column
     multiple; padding tiles (val 0) keep the tile count static-friendly.
     ``dtype=bfloat16`` halves tile bytes (the kernel accumulates in f32);
-    ``tile`` must be a multiple of 128 (MXU/lane granularity)."""
-    assert tile % 128 == 0, tile
-    n_pad = ((n_nodes + tile - 1) // tile) * tile
+    ``tile`` (rows) and ``tile_c`` (columns, default square, must be a
+    multiple of ``tile``) are multiples of 128 (MXU/lane granularity)."""
+    tile_r = tile
+    tile_c = tile_c or tile_r
+    assert tile_r % 128 == 0 and tile_c % tile_r == 0, (tile_r, tile_c)
+    n_pad = ((n_nodes + tile_c - 1) // tile_c) * tile_c
     live = vals != 0
     rows, cols, vals = rows[live], cols[live], vals[live]
-    trow = rows // tile
-    tcol = cols // tile
-    n_tile_cols = n_pad // tile
+    trow = rows // tile_r
+    tcol = cols // tile_c
+    n_tile_cols = n_pad // tile_c
     tile_id = trow.astype(np.int64) * n_tile_cols + tcol
     uniq, inverse = np.unique(tile_id, return_inverse=True)
     # every tile-row needs >=1 tile or its output block would never be
     # initialized by the kernel — give uncovered rows an explicit zero tile
     covered = np.unique(uniq // n_tile_cols)
-    missing = np.setdiff1d(np.arange(n_pad // tile, dtype=np.int64), covered)
+    missing = np.setdiff1d(np.arange(n_pad // tile_r, dtype=np.int64), covered)
     T = len(uniq)
-    tiles = np.zeros((T + len(missing), tile, tile), dtype=np.float32)
-    tiles[inverse, rows % tile, cols % tile] = vals
+    tiles = np.zeros((T + len(missing), tile_r, tile_c), dtype=np.float32)
+    tiles[inverse, rows % tile_r, cols % tile_c] = vals
     tiles = tiles.astype(jnp.dtype(dtype)) if dtype != np.float32 else tiles
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     tile_cols = np.concatenate(
@@ -116,7 +140,8 @@ def _bcsr_kernel(rows_ref, cols_ref, tiles_ref, x_ref, o_ref):
 
 def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
     T = tiles.shape[0]
-    tile = tiles.shape[1]
+    tile_r = tiles.shape[1]
+    tile_c = tiles.shape[2]
     n_feat = x.shape[1]
     ft = min(_FEAT_TILE, n_feat)
     grid = (pl.cdiv(n_feat, ft), T)
@@ -128,18 +153,18 @@ def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, tile, tile),
+                    (1, tile_r, tile_c),
                     lambda f, t, rows, cols: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (tile, ft),
+                    (tile_c, ft),
                     lambda f, t, rows, cols: (cols[t], f),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (tile, ft),
+                (tile_r, ft),
                 lambda f, t, rows, cols: (rows[t], f),
                 memory_space=pltpu.VMEM,
             ),
@@ -165,8 +190,11 @@ def _fwd(tiles, tile_rows, tile_cols, x, n_nodes):
 
 def _bwd(n_nodes, res, g):
     tiles, tile_rows, tile_cols = res
-    # Â symmetric ⇒ Âᵀg = Âg: reuse the same tile pack (src/module.cu:188-208
-    # uses the same kernel for forward and backward for the same reason)
+    # The tile-part MATRIX is symmetric (Â symmetric + symmetric edge split,
+    # data/graph.py split_dense_tiles) ⇒ Tᵀg = Tg: reuse the same tile pack
+    # (src/module.cu:188-208 uses one kernel for both directions likewise).
+    # This holds for rectangular tiles too — symmetry is enforced on the EDGE
+    # SET, not the tile grid.
     dx = _bcsr_matmul_impl(tiles, tile_rows, tile_cols, g, n_nodes)
     return None, None, None, dx
 

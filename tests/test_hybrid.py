@@ -69,6 +69,30 @@ def test_hybrid_tile256_matches_segment():
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_cols", [256, 512])
+def test_hybrid_rect_tiles_match_segment(tile_cols):
+    """Rectangular tiles (wide): forward AND gradient must match segment —
+    the gradient check exercises the symmetric edge-split requirement."""
+    csr, _ = random_graph(300, 8, seed=4)
+    g_hyb = build_graph(csr, hybrid=True, min_tile_nnz=2, tile_size=128,
+                        tile_cols=tile_cols)
+    n_pad = g_hyb.n_nodes
+    g_seg = build_graph(csr, n_nodes_pad=n_pad)
+    assert g_hyb.bcsr.tile_r == 128 and g_hyb.bcsr.tile_c == tile_cols
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n_pad, 16)).astype(np.float32))
+    a = np.asarray(graphsum(x, g_hyb, backend="hybrid"))
+    b = np.asarray(graphsum(x, g_seg, backend="segment"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    cot = jnp.asarray(rng.standard_normal((n_pad, 16)).astype(np.float32))
+    ga = np.asarray(jax.grad(
+        lambda x: jnp.vdot(graphsum(x, g_hyb, backend="hybrid"), cot))(x))
+    gb = np.asarray(jax.grad(
+        lambda x: jnp.vdot(graphsum(x, g_seg, backend="segment"), cot))(x))
+    np.testing.assert_allclose(ga, gb, rtol=2e-5, atol=2e-5)
+
+
 def test_hybrid_gradient_matches_segment():
     csr, _ = random_graph(256, 6, seed=9)
     g_seg = build_graph(csr, n_nodes_pad=256)
