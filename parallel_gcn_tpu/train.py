@@ -106,6 +106,10 @@ def preaggregate_input(
         )
 
     x_agg = agg(dds.x, dds.graph)
+    # store Â·X directly in the compute dtype: apply() would cast per use
+    # anyway, and bf16 storage halves the reads of the widest activation
+    if jnp.dtype(model.compute_dtype) != jnp.float32:
+        x_agg = x_agg.astype(jnp.dtype(model.compute_dtype))
     if model.dropouts[0] == 0.0:
         model = dataclasses.replace(model, input_preagg=True)
         dds = dataclasses.replace(dds, x=x_agg)
