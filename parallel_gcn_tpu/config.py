@@ -114,6 +114,12 @@ class TPUConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
     dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
+    # fuse dropout into the following matmul (pallas path only, see
+    # ops/pallas_fused.py). Measured on v5e at citation scale the Pallas
+    # grid-step overhead outweighs the saved HBM passes (cora 0.196 vs
+    # 0.155 ms/epoch), so this is OFF by default — it pays only for very
+    # wide inputs with nonzero input dropout
+    fuse_dropout_matmul: bool = False
     edge_chunk: int = 0  # 0 = auto from memory budget
     dense_threshold: int = 8192  # use dense Â·X below this many (padded) nodes
     node_pad: int = 8  # pad nodes to a multiple of this (TPU sublane)
@@ -181,6 +187,7 @@ _KEYMAP = {
     "compute_dtype": ("tpu", "compute_dtype"),
     "matmul_precision": ("tpu", "matmul_precision"),
     "dropout_impl": ("tpu", "dropout_impl"),
+    "fuse_dropout_matmul": ("tpu", "fuse_dropout_matmul"),
     "edge_chunk": ("tpu", "edge_chunk"),
     "dense_threshold": ("tpu", "dense_threshold"),
     "binarize_features": ("data", "binarize_features"),

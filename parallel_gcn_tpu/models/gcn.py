@@ -61,6 +61,10 @@ class GCNModel:
     # (TPU hardware PRNG kernel, ops/pallas_dropout.py — the analog of the
     # reference's hand-written Philox kernel, src/module.cu:16-63)
     dropout_impl: str = "threefry"
+    # fuse dropout into the following matmul (ops/pallas_fused.py): X is read
+    # once and the masked intermediate never exists in HBM; TPU-only (applies
+    # when dropout_impl == "pallas")
+    fuse_dropout_matmul: bool = False
     # input pre-aggregation: when the input-layer dropout is 0, the first
     # layer's aggregation is loop-invariant — Â·(X·W0) == (Â·X)·W0 with Â·X
     # computed once at setup (see train.preaggregate_input). ``x`` then already
@@ -112,10 +116,25 @@ class GCNModel:
             )
         prev = None
         for layer in range(self.n_layers):
-            h = self._dropout(h, self.dropouts[layer], keys[layer], training)
-            h = feature_transform(h, weights[layer], precision=self.precision).astype(
-                dtype
-            )
+            rate = self.dropouts[layer]
+            if (
+                training
+                and rate > 0.0
+                and self.fuse_dropout_matmul
+                and self.dropout_impl == "pallas"
+            ):
+                from parallel_gcn_tpu.ops.pallas_dropout import key_to_seed
+                from parallel_gcn_tpu.ops.pallas_fused import dropout_matmul
+
+                h = dropout_matmul(
+                    h, weights[layer].astype(dtype), key_to_seed(keys[layer]),
+                    rate, self.precision == "highest",
+                ).astype(dtype)
+            else:
+                h = self._dropout(h, rate, keys[layer], training)
+                h = feature_transform(
+                    h, weights[layer], precision=self.precision
+                ).astype(dtype)
             if layer == 0 and preagg:
                 pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
             else:

@@ -67,6 +67,7 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
         compute_dtype=cfg.tpu.compute_dtype,
         precision=cfg.tpu.matmul_precision,
         dropout_impl=dropout_impl,
+        fuse_dropout_matmul=cfg.tpu.fuse_dropout_matmul,
     )
 
 
