@@ -1,0 +1,44 @@
+"""CLI entry point (cli.py) — end-to-end through main(argv)."""
+
+import numpy as np
+import pytest
+
+from parallel_gcn_tpu.cli import main
+from tests.conftest import has_dataset
+
+requires_cora = pytest.mark.skipif(
+    not has_dataset("cora"), reason="cora dataset not available"
+)
+
+
+@requires_cora
+def test_cli_trains_with_overrides(capsys):
+    rc = main(["cora", "epochs=3", "early_stopping=0", "mode=eager",
+               "backend=segment", "verbose=true"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "PARSING cora" in out
+    assert "epoch=3 " in out  # three epoch lines printed
+    assert "test_loss=" in out and "test_acc=" in out
+    assert "epochs_run=3" in out
+
+
+@requires_cora
+def test_cli_three_layer_residual(capsys):
+    rc = main(["cora", "n_layers=3", "hidden_dims=16,16",
+               "dropouts=0.2,0.2,0.2", "residual=true", "epochs=2",
+               "early_stopping=0", "mode=eager"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "epochs_run=2" in out
+
+
+def test_cli_no_args_prints_usage(capsys):
+    assert main([]) == 2
+
+
+@requires_cora
+def test_cli_malformed_override_is_ignored(capsys):
+    rc = main(["cora", "epochs=2", "early_stopping=0", "mode=eager", "bogus"])
+    assert rc == 0
+    assert "ignoring malformed argument" in capsys.readouterr().out
