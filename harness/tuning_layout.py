@@ -31,16 +31,18 @@ from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
-# (backend, reorder, tile_size); tile_size is ignored outside bcsr/hybrid
+# (backend, reorder, tile_size, tile_cols multiplier); tile knobs are ignored
+# outside bcsr/hybrid
 GRID = {
     "backend": ["dense", "segment", "hybrid"],
     "reorder": ["none", "rcm", "community"],
     "tile_size": [128, 256, 512],
+    "cols_mult": [1, 2, 4],  # tile_cols = tile_size * mult (wide tiles)
 }
 
 
 def time_layout(dataset: str, backend: str, reorder: str, tile: int,
-                epochs: int, reps: int) -> float | None:
+                epochs: int, reps: int, tile_cols: int = 0) -> float | None:
     cfg = load_config(default_params_path(dataset))
     cfg.gcn.epochs = epochs
     cfg.gcn.early_stopping = 0
@@ -49,6 +51,7 @@ def time_layout(dataset: str, backend: str, reorder: str, tile: int,
     cfg.tpu.backend = backend
     cfg.tpu.reorder = reorder
     cfg.tpu.tile_size = tile
+    cfg.tpu.tile_cols = tile_cols
     try:
         ds, dds = prepare_device_dataset(cfg, dataset)
         model = build_model(cfg, dds)
@@ -87,20 +90,22 @@ def main() -> int:
 
     rows = []
     seen = set()
-    for backend, reorder, tile in itertools.product(
-        GRID["backend"], GRID["reorder"], GRID["tile_size"]
+    for backend, reorder, tile, mult in itertools.product(
+        GRID["backend"], GRID["reorder"], GRID["tile_size"], GRID["cols_mult"]
     ):
-        # tile size only matters for tile-based backends — dedupe the rest
-        key = (backend, reorder, tile if backend in ("bcsr", "hybrid") else 0)
+        tile_cols = tile * mult
+        # tile knobs only matter for tile-based backends — dedupe the rest
+        tiled = backend in ("bcsr", "hybrid")
+        key = (backend, reorder, tile if tiled else 0, tile_cols if tiled else 0)
         if key in seen:
             continue
         seen.add(key)
         ms = time_layout(args.dataset, backend, reorder, tile,
-                         args.epochs, args.reps)
+                         args.epochs, args.reps, tile_cols=tile_cols)
         if ms is None:
             continue
         label = f"{backend}/{reorder}" + (
-            f"/t{tile}" if backend in ("bcsr", "hybrid") else ""
+            f"/t{tile}x{tile_cols}" if tiled else ""
         )
         print(f"{args.dataset} {label:24s} epoch {ms:.4f} ms", flush=True)
         rows.append((ms, label))

@@ -83,15 +83,19 @@ def community_order(
     rows = csr.row_ids().astype(np.int64)
     cols = csr.indices.astype(np.int64)
     deg = np.diff(csr.indptr).astype(np.int64)
+    by_deg_desc = np.argsort(-deg, kind="stable")
 
     # Exclude hub-incident edges from the propagation: hubs carry most of the
     # INTER-community edges, and their high degree lets them broadcast a
     # foreign label through whole communities, merging clusters (measured on
     # synth-reddit: 8.3K vs 4.8K occupied 512-tiles with/without exclusion).
-    # The hubs end up in the leading block regardless.
-    if hub_block > 0:
+    # The hubs end up in the leading block regardless. Scale the excluded set
+    # to the graph — removing a large FRACTION of nodes starves the
+    # propagation and degrades small graphs.
+    n_hub = min(hub_block, n // 64)
+    if n_hub > 0:
         hub = np.zeros(n, dtype=bool)
-        hub[np.argsort(-deg, kind="stable")[:hub_block]] = True
+        hub[by_deg_desc[:n_hub]] = True
         keep = ~(hub[rows] | hub[cols])
         rows_lp, cols_lp = rows[keep], cols[keep]
     else:
@@ -112,8 +116,8 @@ def community_order(
         new_labels[present] = lab[order][last[present]]
         labels = new_labels
     nonhub = np.ones(n, dtype=np.int8)
-    if hub_block > 0:
-        nonhub[np.argsort(-deg, kind="stable")[:hub_block]] = 0
+    if n_hub > 0:
+        nonhub[by_deg_desc[:n_hub]] = 0
     # primary: hubs first; then community label; then degree (desc) within
     return np.lexsort((-deg, labels, nonhub)).astype(np.int64)
 

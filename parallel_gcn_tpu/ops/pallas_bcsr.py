@@ -42,11 +42,12 @@ class BCSR:
     same edges in fewer grid steps — the per-step overhead (~0.3 µs on v5e) is
     the dominant cost once tiles stream near HBM bandwidth.
 
-    NOTE (symmetry): with tile_r == tile_c the pack of Â equals the pack of Âᵀ
-    (Â symmetric), so backward reuses the forward tiles. With rectangular
-    tiles that no longer holds; bcsr_matmul's VJP therefore transposes each
-    tile and swaps the row/col indices — same bytes, one extra transposed
-    gather pattern (see _bcsr_matmul VJP).
+    NOTE (symmetry): the VJP reuses the UNtransposed pack, which is valid iff
+    the packed matrix itself is symmetric. For square tiles of symmetric Â
+    that is automatic; for rectangular tiles the caller must pack a symmetric
+    EDGE SET — data/graph.py split_dense_tiles enforces this by qualifying an
+    edge only if its mirror's tile also qualifies. Do not feed an asymmetric
+    matrix through bcsr_matmul's autodiff.
     """
 
     tiles: jnp.ndarray  # [T, tile_r, tile_c] — dense tile data (f32 or bf16)
