@@ -134,6 +134,8 @@ class TPUConfig:
     tile_cols: int = 0
     # byte budget for resident Â tiles (hybrid backend)
     tile_budget_mb: int = 3072
+    # minimum nnz for a tile to qualify (0 = auto break-even vs gather cost)
+    min_tile_nnz: int = 0
     # multi-chip training: number of mesh devices (0/1 = single-chip path)
     # and the halo-exchange strategy for the node-partitioned aggregation
     n_devices: int = 0
@@ -191,6 +193,7 @@ _KEYMAP = {
     "tile_size": ("tpu", "tile_size"),
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
     "tile_cols": ("tpu", "tile_cols"),
+    "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
     "input_preagg": ("tpu", "input_preagg"),

@@ -246,6 +246,10 @@ def build_graph(
         rows_np = rows_np[~in_tiles]
         cols_np = cols_np[~in_tiles]
         vals_np = vals_np[~in_tiles]
+        if len(rows_np) == 0:
+            # every edge landed in a tile: the graph is pure BCSR — drop the
+            # hybrid flag so aggregation skips the empty residual pass
+            hybrid = False
 
     nnz = len(rows_np)
     e_pad = pad_to_multiple(max(nnz, 1), edge_pad)

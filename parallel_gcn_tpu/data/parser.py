@@ -238,6 +238,7 @@ def to_device(
     tile_size: int = 128,
     tile_cols: int = 0,
     tile_budget_mb: int = 3072,
+    min_tile_nnz: int = 0,
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
@@ -249,6 +250,7 @@ def to_device(
         n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype), tile_size=tile_size,
         tile_cols=tile_cols,
         tile_budget_bytes=tile_budget_mb * 1024 * 1024,
+        min_tile_nnz=min_tile_nnz or None,
     )
 
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
@@ -318,5 +320,6 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         tile_size=cfg.tpu.tile_size,
         tile_cols=cfg.tpu.tile_cols,
         tile_budget_mb=cfg.tpu.tile_budget_mb,
+        min_tile_nnz=cfg.tpu.min_tile_nnz,
     )
     return ds, dds

@@ -145,6 +145,9 @@ def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> 
         # residual edges in row/col/val — serving either alone would silently
         # compute a wrong aggregation
         backend = "hybrid"
+    if backend == "hybrid" and not graph.is_hybrid and graph.bcsr is not None:
+        # all edges were tiled at build time: the residual is empty padding
+        backend = "bcsr"
     return backend
 
 

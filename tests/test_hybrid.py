@@ -110,10 +110,28 @@ def test_hybrid_gradient_matches_segment():
 
 
 def test_resolve_backend_protects_hybrid():
-    csr, _ = random_graph(100, 5, seed=0)
-    g = build_graph(csr, hybrid=True, min_tile_nnz=4)
+    csr, _ = random_graph(400, 6, seed=0)  # 4x4 tile grid, uneven counts
+    # median-ish threshold -> some tiles qualify, some edges stay residual
+    for thresh in (180, 160, 140, 200, 120):
+        g = build_graph(csr, hybrid=True, min_tile_nnz=thresh)
+        if g.is_hybrid and (np.asarray(g.val) != 0).any() and g.bcsr.n_tiles_real:
+            break
+    assert g.is_hybrid and (np.asarray(g.val) != 0).any()
     assert resolve_backend(g, "auto") == "hybrid"
     assert resolve_backend(g, "bcsr") == "hybrid"  # residual must not be dropped
+    assert resolve_backend(g, "segment") == "hybrid"  # tiles must not be dropped
+
+    # low threshold -> every edge tiled: the empty residual pass is skipped
+    g2 = build_graph(csr, hybrid=True, min_tile_nnz=1)
+    assert not g2.is_hybrid and g2.bcsr is not None
+    assert resolve_backend(g2, "auto") == "bcsr"
+    assert resolve_backend(g2, "hybrid") == "bcsr"
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (g2.n_nodes, 8)).astype(np.float32))
+    a = np.asarray(graphsum(x, g2))
+    g_seg = build_graph(csr, n_nodes_pad=g2.n_nodes)
+    b = np.asarray(graphsum(x, g_seg, backend="segment"))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
 def test_community_order_is_permutation_and_improves_tiling():
