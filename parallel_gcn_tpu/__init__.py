@@ -23,16 +23,46 @@ vanishes under functional purity.
 
 __version__ = "0.1.0"
 
-from parallel_gcn_tpu.config import AdamConfig, Config, GCNConfig, load_config
+from parallel_gcn_tpu.config import AdamConfig, Config, GCNConfig, TPUConfig, load_config
 from parallel_gcn_tpu.data.graph import Graph
-from parallel_gcn_tpu.data.parser import load_dataset
+from parallel_gcn_tpu.data.parser import (
+    load_dataset,
+    prepare_device_dataset,
+    prepare_host_dataset,
+    to_device,
+)
 
 __all__ = [
     "AdamConfig",
     "Config",
     "GCNConfig",
+    "TPUConfig",
     "Graph",
     "load_config",
     "load_dataset",
+    "prepare_device_dataset",
+    "prepare_host_dataset",
+    "to_device",
+    "fit",
+    "fit_parallel",
+    "GCNModel",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy imports: train/models pull in jax transforms; keep bare package
+    # import light for tooling
+    if name == "fit":
+        from parallel_gcn_tpu.train import fit
+
+        return fit
+    if name == "fit_parallel":
+        from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+        return fit_parallel
+    if name == "GCNModel":
+        from parallel_gcn_tpu.models.gcn import GCNModel
+
+        return GCNModel
+    raise AttributeError(name)
