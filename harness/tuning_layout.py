@@ -86,12 +86,19 @@ def main() -> int:
     ap.add_argument("dataset")
     ap.add_argument("--epochs", type=int, default=500)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--backends", default="", help="comma filter, e.g. hybrid")
+    ap.add_argument("--reorders", default="", help="comma filter, e.g. rcm")
     args = ap.parse_args()
+    grid = dict(GRID)
+    if args.backends:
+        grid["backend"] = [b for b in grid["backend"] if b in args.backends.split(",")]
+    if args.reorders:
+        grid["reorder"] = [r for r in grid["reorder"] if r in args.reorders.split(",")]
 
     rows = []
     seen = set()
     for backend, reorder, tile, mult in itertools.product(
-        GRID["backend"], GRID["reorder"], GRID["tile_size"], GRID["cols_mult"]
+        grid["backend"], grid["reorder"], grid["tile_size"], grid["cols_mult"]
     ):
         tile_cols = tile * mult
         # tile knobs only matter for tile-based backends — dedupe the rest
