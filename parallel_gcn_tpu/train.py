@@ -384,7 +384,15 @@ def fit(
 
     t0 = time.perf_counter()
     if cfg.train.mode == "scan":
-        run = _make_scan_run(model, cfg, dds)
+        scan_cfg = cfg
+        if start_epoch:
+            # resumed: train only the REMAINING epochs (the eager loop does
+            # this via its range; the fused program's trip count is static)
+            import copy
+
+            scan_cfg = copy.deepcopy(cfg)
+            scan_cfg.gcn.epochs = max(cfg.gcn.epochs - start_epoch, 0)
+        run = _make_scan_run(model, scan_cfg, dds)
         weights, opt_state, metrics, epochs_run = run(weights, opt_state, key)
         epochs_run = int(epochs_run)
         history = np.asarray(metrics)[:epochs_run]
@@ -392,10 +400,10 @@ def fit(
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]
                 print(
-                    f"epoch={e + 1} train_loss={tl:.5f} train_acc={ta:.5f} "
-                    f"val_loss={vl:.5f} val_acc={va:.5f}"
+                    f"epoch={start_epoch + e + 1} train_loss={tl:.5f} "
+                    f"train_acc={ta:.5f} val_loss={vl:.5f} val_acc={va:.5f}"
                 )
-            if epochs_run < cfg.gcn.epochs:
+            if epochs_run < scan_cfg.gcn.epochs:
                 print("Early stopping...")
     else:
         epoch_step = make_epoch_step(model, cfg, dds)

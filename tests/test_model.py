@@ -267,6 +267,37 @@ def test_input_preagg_with_dropout_hoists_eval_only():
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
+def test_resume_scan_trains_remaining_epochs(tmp_path):
+    """fit(resume_from=...) in scan mode must train epochs - start_epoch more
+    epochs (the eager loop already did; the fused program's count is derived)."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+    from parallel_gcn_tpu.models.gcn import init_params
+    from parallel_gcn_tpu.optim import init_adam
+    import jax
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+    w = init_params(jax.random.PRNGKey(0), dds.input_dim, (8,), dds.output_dim)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, w, init_adam(w), epoch=7, key=jax.random.PRNGKey(1))
+
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                      epochs=10, early_stopping=0),
+        tpu=TPUConfig(backend="segment"),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    res = fit(cfg, dds, resume_from=path)
+    assert res.epochs_run == 3  # 10 total - 7 already done
+    assert res.history.shape == (3, 4)
+
+
 def test_checkpoint_resume(tmp_path):
     """Resume must continue training from the saved state."""
     from parallel_gcn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
