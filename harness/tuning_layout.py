@@ -119,7 +119,7 @@ def main() -> int:
 
     rows.sort()
     os.makedirs("output", exist_ok=True)
-    with open("output/tuning_layout_tpu.txt", "w") as f:
+    with open(f"output/tuning_layout_{args.dataset}.txt", "w") as f:
         for ms, label in rows:
             f.write(f"{ms:.4f} {args.dataset} {label}\n")
     if rows:
