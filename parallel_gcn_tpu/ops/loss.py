@@ -34,7 +34,13 @@ def masked_softmax_xent(
     shifted = logits - lmax
     lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
     safe_labels = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    truth = jnp.take_along_axis(shifted, safe_labels[:, None], axis=-1)[:, 0]
+    # truth logit via one-hot multiply-reduce, NOT take_along_axis: XLA lowers
+    # the row gather to ~15 ns/row on TPU (it was the 2nd-largest op in the
+    # reddit epoch at 3.5 ms); the streamed select+reduce over [N, C] costs
+    # bandwidth only (~0.05 ms). Numerically identical (selects one element).
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, shifted.shape, 1)
+    onehot = class_ids == safe_labels[:, None]
+    truth = jnp.sum(jnp.where(onehot, shifted, 0.0), axis=-1)
 
     maskf = mask.astype(jnp.float32)
     denom = jnp.asarray(num_samples, dtype=jnp.float32)

@@ -104,7 +104,10 @@ def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=A
     shifted = logits_local - lmax
     lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
     safe = jnp.clip(labels_local, 0, logits_local.shape[-1] - 1)
-    truth = jnp.take_along_axis(shifted, safe[:, None], axis=-1)[:, 0]
+    # one-hot select instead of take_along_axis (row gathers are
+    # index-rate-bound on TPU; see ops/loss.py)
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, shifted.shape, 1)
+    truth = jnp.sum(jnp.where(class_ids == safe[:, None], shifted, 0.0), axis=-1)
     maskf = mask_local.astype(jnp.float32)
     local_sum = jnp.sum(maskf * (lse - truth))
     loss = jax.lax.psum(local_sum, axis) / jnp.float32(num_samples)
