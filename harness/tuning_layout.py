@@ -5,7 +5,7 @@ thread counts per dataset).
 On TPU there is no launch geometry; the equivalent knobs are the aggregation
 backend, the node reordering, and the block-sparse tile size/budget. This
 sweeps them for one dataset, measures fused-run epoch time on the real chip,
-and writes output/tuning_layout_tpu.txt sorted fastest-first — the numbers
+and writes output/tuning_layout_<dataset>.txt sorted fastest-first — the numbers
 that justify each parameters/parameters_<dataset>.txt layout choice.
 
 Usage:

@@ -140,8 +140,12 @@ class TPUConfig:
     # and the halo-exchange strategy for the node-partitioned aggregation
     n_devices: int = 0
     halo: str = "all_gather"  # all_gather | ring (ppermute block rotation)
+    seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
     def __post_init__(self):
+        """Validate layout invariants. Also re-invoked by
+        data.parser.prepare_device_dataset to cover harnesses that mutate the
+        config programmatically after construction."""
         if self.tile_size % 128 != 0:
             raise ValueError(f"tile_size must be a multiple of 128, got {self.tile_size}")
         if self.tile_cols and self.tile_cols % self.tile_size != 0:
@@ -151,7 +155,6 @@ class TPUConfig:
             )
         if self.halo not in ("all_gather", "ring"):
             raise ValueError(f"halo must be all_gather|ring, got {self.halo!r}")
-    seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
 
 @dataclass

@@ -52,6 +52,9 @@ class Graph:
     n_real_edges: int = dataclasses.field(metadata=dict(static=True))
     # True when bcsr holds only the dense tiles and row/col/val the residual
     is_hybrid: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # False when row/col/val do NOT contain the whole edge set (hybrid builds,
+    # including ones demoted to pure-BCSR because the residual came out empty)
+    coo_complete: bool = dataclasses.field(metadata=dict(static=True), default=True)
 
     @property
     def n_edges_pad(self) -> int:
@@ -230,8 +233,10 @@ def build_graph(
     cols_np = csr.indices
     vals_np = csr.values
 
+    coo_complete = True
     bcsr_pack = None
     if hybrid:
+        coo_complete = False
         from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
         in_tiles = split_dense_tiles(
@@ -270,7 +275,8 @@ def build_graph(
         from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
         bcsr_pack = build_bcsr(
-            csr.row_ids(), csr.indices, csr.values, n_pad, tile=tile_size
+            csr.row_ids(), csr.indices, csr.values, n_pad,
+            dtype=tile_dtype, tile=tile_size, tile_c=tile_cols,
         )
         assert bcsr_pack.n_nodes == n_pad
 
@@ -284,6 +290,7 @@ def build_graph(
         n_real_nodes=csr.n_rows,
         n_real_edges=csr.nnz,
         is_hybrid=hybrid,
+        coo_complete=coo_complete,
     )
 
 

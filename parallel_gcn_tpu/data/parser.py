@@ -301,6 +301,9 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
     """
     ds = prepare_host_dataset(cfg, name)
 
+    # harnesses mutate cfg.tpu programmatically after construction — re-check
+    # the invariants the dataclass validator enforces for file-sourced values
+    cfg.tpu.__post_init__()
     backend = cfg.tpu.backend
     # an explicit dense request is honored at any size; "auto" only goes dense
     # below the threshold (the adj is n_pad^2 floats)

@@ -145,8 +145,13 @@ def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> 
         # residual edges in row/col/val — serving either alone would silently
         # compute a wrong aggregation
         backend = "hybrid"
-    if backend == "hybrid" and not graph.is_hybrid and graph.bcsr is not None:
-        # all edges were tiled at build time: the residual is empty padding
+    if not graph.is_hybrid and not graph.coo_complete:
+        # hybrid build demoted to pure tiles (empty residual): the COO arrays
+        # are padding-only, so ANY request must be served by the tile pack
+        if graph.bcsr is None:
+            raise ValueError("graph has neither a complete COO nor a tile pack")
+        backend = "bcsr"
+    elif backend == "hybrid" and not graph.is_hybrid and graph.bcsr is not None:
         backend = "bcsr"
     return backend
 

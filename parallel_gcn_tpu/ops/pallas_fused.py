@@ -107,16 +107,14 @@ def _dx_kernel(seed_ref, g_ref, w_ref, o_ref, *, threshold, inv_keep, nj,
     o_ref[:] = jnp.where(mask, gw * inv_keep, 0).astype(o_ref.dtype)
 
 
-def _round_up(v: int, m: int) -> int:
-    return ((v + m - 1) // m) * m
-
-
 def _common(x, rate):
     n, k = x.shape
     # block dims: sublane/lane aligned; a block may exceed the array (single
     # padded block) — the in-bounds predicate in the mask covers the padding
-    bm = min(_BM, _round_up(n, 8))
-    bk = min(_BK, _round_up(k, 128))
+    from parallel_gcn_tpu.data.graph import pad_to_multiple
+
+    bm = min(_BM, pad_to_multiple(n, 8))
+    bk = min(_BK, pad_to_multiple(k, 128))
     grid_i = pl.cdiv(n, bm)
     grid_j = pl.cdiv(k, bk)
     keep = 1.0 - rate

@@ -424,7 +424,9 @@ def fit(
                 )
             if k > 0:
                 loss_history.append(vl)
-                if epoch >= k and vl > float(np.mean(loss_history[-k:])):
+                # window counts POST-RESUME epochs (len of the history), like a
+                # fresh run and like the scan-mode resume
+                if len(loss_history) >= k and vl > float(np.mean(loss_history[-k:])):
                     if verbose:
                         print("Early stopping...")
                     break
