@@ -124,8 +124,12 @@ def test_resolve_backend_protects_hybrid():
     # low threshold -> every edge tiled: the empty residual pass is skipped
     g2 = build_graph(csr, hybrid=True, min_tile_nnz=1)
     assert not g2.is_hybrid and g2.bcsr is not None
+    assert not g2.coo_complete  # COO arrays are padding-only
     assert resolve_backend(g2, "auto") == "bcsr"
     assert resolve_backend(g2, "hybrid") == "bcsr"
+    # a 'segment' request on the demoted graph must NOT run over the
+    # padding-only COO (it would silently return zeros)
+    assert resolve_backend(g2, "segment") == "bcsr"
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (g2.n_nodes, 8)).astype(np.float32))
     a = np.asarray(graphsum(x, g2))
