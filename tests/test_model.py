@@ -176,6 +176,22 @@ def test_residual_runs():
     assert np.isfinite(result.history).all()
 
 
+def test_residual_forward_matches_golden(small_graph, rng):
+    """3-layer residual forward vs the golden oracle (reference
+    -DRESIDUAL_CONNECTIONS, src/module.cu:566-593)."""
+    csr, graph = small_graph
+    dims = [12, 16, 16, 4]
+    ws, ws_np = _weights_np(jax.random.PRNGKey(3), dims)
+    x = rng.standard_normal((graph.n_nodes, dims[0])).astype(np.float32)
+
+    model = GCNModel(n_layers=3, dropouts=(0.0,) * 3, backend="segment",
+                     residual=True)
+    logits = np.asarray(model.apply(ws, jnp.asarray(x), graph, training=False))
+    expected, _ = golden_forward(ws_np, x[: csr.n_rows], csr, residual=True)
+    np.testing.assert_allclose(logits[: csr.n_rows], expected, rtol=5e-5,
+                               atol=5e-5)
+
+
 def test_early_stopping_triggers():
     csr, x, labels, split = _synthetic()
     graph = build_graph(csr)
