@@ -53,8 +53,11 @@ class BCSR:
     tiles: jnp.ndarray  # [T, tile_r, tile_c] — dense tile data (f32 or bf16)
     tile_rows: jnp.ndarray  # int32 [T] — tile-row index, ascending
     tile_cols: jnp.ndarray  # int32 [T]
-    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded cols
     n_tiles_real: int = dataclasses.field(metadata=dict(static=True))
+    # output row count; 0 means square (= n_nodes). A row-block slab of a
+    # sharded matrix sets this to its local row count.
+    n_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n_tiles(self) -> int:
@@ -139,7 +142,8 @@ def _bcsr_kernel(rows_ref, cols_ref, tiles_ref, x_ref, o_ref):
     )
 
 
-def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
+def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes, n_rows=0):
+    n_rows = n_rows or n_nodes
     T = tiles.shape[0]
     tile_r = tiles.shape[1]
     tile_c = tiles.shape[2]
@@ -170,7 +174,7 @@ def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes):
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_nodes, n_feat), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_rows, n_feat), jnp.float32),
         interpret=_INTERPRET[0],
     )(tile_rows, tile_cols, tiles, x)
 
@@ -204,6 +208,24 @@ _bcsr_matmul.defvjp(_fwd, _bwd)
 
 
 def bcsr_matmul(bcsr: BCSR, x: jnp.ndarray) -> jnp.ndarray:
-    """out = Â·x with Â in BCSR form. x: [n_nodes, F] (n_nodes = bcsr.n_nodes)."""
+    """out = Â·x with Â in BCSR form. x: [n_nodes, F] (n_nodes = bcsr.n_nodes).
+
+    Square packs only (the custom VJP reuses the forward, valid iff the packed
+    matrix is symmetric); rectangular slabs use ``bcsr_matmul_rect``."""
     assert x.shape[0] == bcsr.n_nodes, (x.shape, bcsr.n_nodes)
+    assert not bcsr.n_rows or bcsr.n_rows == bcsr.n_nodes, (
+        "rectangular pack: use bcsr_matmul_rect"
+    )
     return _bcsr_matmul(bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, x, bcsr.n_nodes)
+
+
+def bcsr_matmul_rect(bcsr: BCSR, x: jnp.ndarray) -> jnp.ndarray:
+    """out[n_rows, F] = slab · x for a rectangular (row-block) pack.
+
+    NO custom VJP — callers embed this in their own adjoint (e.g. the sharded
+    aggregation is self-adjoint at the collective level because the GLOBAL
+    matrix is symmetric; see parallel/train_parallel.graphsum_dist_hybrid)."""
+    assert x.shape[0] == bcsr.n_nodes, (x.shape, bcsr.n_nodes)
+    return _bcsr_matmul_impl(
+        bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, x, bcsr.n_nodes, bcsr.n_rows
+    )

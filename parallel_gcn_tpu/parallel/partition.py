@@ -139,3 +139,110 @@ def partition_graph_ring(csr: HostCSR, n_dev: int, node_pad: int = 8) -> Sharded
         n_real_edges=csr.nnz,
         ring=True,
     )
+
+
+@dataclass(frozen=True)
+class HybridShardedGraph:
+    """Row-block hybrid partition: per-device BCSR tile slabs (local tile-rows
+    × GLOBAL tile-cols) + per-device COO residual (local dest rows × global
+    source cols). Used with the all_gather halo: each device aggregates its
+    own rows with MXU tiles against the gathered features
+    (train_parallel.graphsum_dist_hybrid). All per-device arrays are padded to
+    identical static shapes.
+    """
+
+    tiles: np.ndarray  # [n_dev, T, tile_r, tile_c] (f32 or bf16)
+    trow: np.ndarray  # int32 [n_dev, T] — LOCAL tile-row ids, ascending
+    tcol: np.ndarray  # int32 [n_dev, T] — GLOBAL tile-col ids
+    res_row: np.ndarray  # int32 [n_dev, e_local] — local dest rows
+    res_col: np.ndarray  # int32 [n_dev, e_local] — global source cols
+    res_val: np.ndarray  # float32 [n_dev, e_local]
+    n_dev: int
+    n_local: int
+    n_real_nodes: int
+    n_real_edges: int
+
+    @property
+    def n_nodes_pad(self) -> int:
+        return self.n_dev * self.n_local
+
+
+def partition_graph_hybrid(
+    csr: HostCSR,
+    n_dev: int,
+    node_pad: int = 8,
+    tile_r: int = 128,
+    tile_c: int = 0,
+    tile_dtype=np.float32,
+    tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
+    min_tile_nnz: int | None = None,
+) -> HybridShardedGraph:
+    """Tile-accelerated row-block partition.
+
+    The GLOBAL symmetric edge split (data.graph.split_dense_tiles) is packed
+    once (data sorted by tile-row), then cut into per-device slabs at
+    tile-row-block boundaries; every device gets the same static tile count
+    (zero tiles pad the shorter slabs). The residual COO is sliced per dest
+    device like ``partition_graph``.
+    """
+    from parallel_gcn_tpu.data.graph import split_dense_tiles
+    from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
+
+    tile_c = tile_c or tile_r
+    assert tile_c % tile_r == 0, (tile_r, tile_c)
+    n_local = pad_to_multiple(-(-csr.n_rows // n_dev), max(node_pad, tile_c))
+    n_pad = n_local * n_dev
+
+    rows = csr.row_ids()
+    cols = csr.indices
+    vals = csr.values
+    in_tiles = split_dense_tiles(
+        rows, cols, n_pad, min_tile_nnz, tile_budget_bytes,
+        tile=tile_r, bytes_per_elem=np.dtype(tile_dtype).itemsize, tile_c=tile_c,
+    )
+    pack = build_bcsr(
+        rows[in_tiles], cols[in_tiles], vals[in_tiles], n_pad,
+        dtype=tile_dtype, tile=tile_r, tile_c=tile_c,
+    )
+    g_trow = np.asarray(pack.tile_rows)
+    g_tcol = np.asarray(pack.tile_cols)
+    g_tiles = np.asarray(pack.tiles)
+
+    rows_per_dev = n_local // tile_r
+    dev_of_tile = g_trow // rows_per_dev
+    counts = np.bincount(dev_of_tile, minlength=n_dev)
+    T = int(counts.max())
+    tiles = np.zeros((n_dev, T, tile_r, tile_c), dtype=g_tiles.dtype)
+    trow = np.full((n_dev, T), rows_per_dev - 1, dtype=np.int32)
+    tcol = np.zeros((n_dev, T), dtype=np.int32)
+    for d in range(n_dev):
+        sel = dev_of_tile == d
+        k = int(sel.sum())
+        tiles[d, :k] = g_tiles[sel]
+        trow[d, :k] = g_trow[sel] - d * rows_per_dev  # sorted ascending; pads
+        tcol[d, :k] = g_tcol[sel]                      # (= last row) keep order
+
+    # residual: per-dest-device slabs, global source cols (row-sorted subset)
+    r_rows = rows[~in_tiles].astype(np.int64)
+    r_cols = cols[~in_tiles]
+    r_vals = vals[~in_tiles]
+    bounds = np.searchsorted(r_rows, np.arange(1, n_dev) * n_local)
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(r_rows)]])
+    e_local = pad_to_multiple(max(int((ends - starts).max()), 1), 128)
+    res_row = np.full((n_dev, e_local), n_local - 1, dtype=np.int32)
+    res_col = np.full((n_dev, e_local), n_pad - 1, dtype=np.int32)
+    res_val = np.zeros((n_dev, e_local), dtype=np.float32)
+    for d in range(n_dev):
+        s, e = int(starts[d]), int(ends[d])
+        cnt = e - s
+        res_row[d, :cnt] = (r_rows[s:e] - d * n_local).astype(np.int32)
+        res_col[d, :cnt] = r_cols[s:e]
+        res_val[d, :cnt] = r_vals[s:e]
+
+    return HybridShardedGraph(
+        tiles=tiles, trow=trow, tcol=tcol,
+        res_row=res_row, res_col=res_col, res_val=res_val,
+        n_dev=n_dev, n_local=n_local,
+        n_real_nodes=csr.n_rows, n_real_edges=csr.nnz,
+    )

@@ -25,7 +25,7 @@ from parallel_gcn_tpu.ops.dropout import dropout
 from parallel_gcn_tpu.ops.loss import l2_penalty
 from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
 from parallel_gcn_tpu.optim import adam_step
-from parallel_gcn_tpu.parallel.partition import ShardedGraph
+from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
 
 AXIS = "nodes"
 
@@ -61,6 +61,58 @@ def graphsum_dist(x_local, row_local, col_global, val, n_local, axis=AXIS):
     return jax.ops.segment_sum(
         gathered, row_local, num_segments=n_local, indices_are_sorted=True
     )
+
+
+def _agg_hybrid_impl(x_local, tiles, trow, tcol, rrow, rcol, rval,
+                     n_local, n_pad, axis):
+    from parallel_gcn_tpu.ops.pallas_bcsr import BCSR, bcsr_matmul_rect
+
+    x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    pack = BCSR(
+        tiles=tiles, tile_rows=trow, tile_cols=tcol,
+        n_nodes=n_pad, n_tiles_real=tiles.shape[0], n_rows=n_local,
+    )
+    out = bcsr_matmul_rect(pack, x_full).astype(x_local.dtype)
+    gathered = rval[:, None].astype(x_local.dtype) * x_full[rcol]
+    return out + jax.ops.segment_sum(
+        gathered, rrow, num_segments=n_local, indices_are_sorted=True
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def graphsum_dist_hybrid(x_local, tiles, trow, tcol, rrow, rcol, rval,
+                         n_local, n_pad, axis=AXIS):
+    """Distributed Â·x with per-device MXU tile slabs + COO residual
+    (partition.HybridShardedGraph), all_gather halo.
+
+    Self-adjoint at the collective level: the GLOBAL matrix is symmetric, so
+    d/dx restricted to device d's rows is the SAME operation applied to the
+    gathered cotangent (dx_d = slab_d · all_gather(g)) — no transposed tile
+    pack, mirroring the single-chip symmetric-Â shortcut
+    (src/module.cu:188-208) across the mesh.
+    """
+    return _agg_hybrid_impl(
+        x_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+    )
+
+
+def _agg_hybrid_fwd(x_local, tiles, trow, tcol, rrow, rcol, rval,
+                    n_local, n_pad, axis):
+    out = _agg_hybrid_impl(
+        x_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+    )
+    return out, (tiles, trow, tcol, rrow, rcol, rval)
+
+
+def _agg_hybrid_bwd(n_local, n_pad, axis, res, g):
+    tiles, trow, tcol, rrow, rcol, rval = res
+    dx = _agg_hybrid_impl(
+        g, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+    )
+    return dx, None, None, None, None, None, None
+
+
+graphsum_dist_hybrid.defvjp(_agg_hybrid_fwd, _agg_hybrid_bwd)
 
 
 def graphsum_ring(x_local, row_slabs, col_slabs, val_slabs, n_local, n_dev, axis=AXIS):
@@ -117,21 +169,30 @@ def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=A
     return loss, correct / jnp.float32(num_samples)
 
 
-def _make_forward(cfg: Config, sgraph: ShardedGraph):
-    """Shared sharded forward used by the train step and eval fns."""
+def _make_forward(cfg: Config, sgraph):
+    """Shared sharded forward used by the train step and eval fns.
+
+    ``graph_args`` is the per-device tuple of graph arrays: (rowl, colg, val)
+    for COO partitions (flat or ring) or (tiles, trow, tcol, rrow, rcol, rval)
+    for the hybrid tile partition.
+    """
     dropouts = tuple(cfg.gcn.dropouts)
     n_layers = cfg.gcn.n_layers
     n_local = sgraph.n_local
     n_dev = sgraph.n_dev
-    ring = sgraph.ring
+    hybrid = isinstance(sgraph, HybridShardedGraph)
+    ring = (not hybrid) and sgraph.ring
+    n_pad = sgraph.n_nodes_pad
     precision = cfg.tpu.matmul_precision
 
-    def _aggregate(h, rowl, colg, val):
+    def _aggregate(h, graph_args):
+        if hybrid:
+            return graphsum_dist_hybrid(h, *graph_args, n_local, n_pad)
         if ring:
-            return graphsum_ring(h, rowl, colg, val, n_local, n_dev)
-        return graphsum_dist(h, rowl, colg, val, n_local)
+            return graphsum_ring(h, *graph_args, n_local, n_dev)
+        return graphsum_dist(h, *graph_args, n_local)
 
-    def forward(weights, x_local, rowl, colg, val, training, key):
+    def forward(weights, x_local, graph_args, training, key):
         h = x_local
         if training:
             # per-device independent dropout masks over the local rows
@@ -142,12 +203,28 @@ def _make_forward(cfg: Config, sgraph: ShardedGraph):
         for layer in range(n_layers):
             h = dropout(h, dropouts[layer], keys[layer], training=training)
             h = feature_transform(h, weights[layer], precision=precision)
-            h = _aggregate(h, rowl, colg, val)
+            h = _aggregate(h, graph_args)
             if layer < n_layers - 1:
                 h = jax.nn.relu(h)
         return h
 
     return forward
+
+
+def _graph_specs(sgraph):
+    """(in_specs tuple, array tuple) for the partition's graph arrays."""
+    if isinstance(sgraph, HybridShardedGraph):
+        arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
+                  sgraph.res_row, sgraph.res_col, sgraph.res_val)
+        specs = (P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
+                 P(AXIS, None), P(AXIS, None), P(AXIS, None))
+    elif sgraph.ring:
+        arrays = (sgraph.row_local, sgraph.col, sgraph.val)
+        specs = (P(AXIS, None, None),) * 3
+    else:
+        arrays = (sgraph.row_local, sgraph.col, sgraph.val)
+        specs = (P(AXIS, None),) * 3
+    return specs, arrays
 
 
 def make_parallel_epoch_step(
@@ -165,20 +242,20 @@ def make_parallel_epoch_step(
     """
     adam = cfg.adam
     wd = adam.weight_decay
-    ring = sgraph.ring
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
     forward = _make_forward(cfg, sgraph)
+    graph_specs, _ = _graph_specs(sgraph)
 
     def step(weights, opt_state, key, x_local, labels_local, split_local,
-             rowl, colg, val):
-        # graph slabs arrive with a leading size-1 device axis; drop it
-        rowl, colg, val = rowl[0], colg[0], val[0]
+             *graph_args):
+        # graph arrays arrive with a leading size-1 device axis; drop it
+        graph_args = tuple(a[0] for a in graph_args)
         key, dkey = jax.random.split(key)
         train_mask = split_local == TRAIN
 
         def loss_fn(w):
-            logits = forward(w, x_local, rowl, colg, val, True, dkey)
+            logits = forward(w, x_local, graph_args, True, dkey)
             loss, acc = _masked_ce_local(logits, labels_local, train_mask, n_train)
             return loss, acc
 
@@ -192,7 +269,7 @@ def make_parallel_epoch_step(
             beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
         )
 
-        val_logits = forward(weights, x_local, rowl, colg, val, False, None)
+        val_logits = forward(weights, x_local, graph_args, False, None)
         val_ce, val_acc = _masked_ce_local(
             val_logits, labels_local, split_local == VAL, n_val
         )
@@ -200,14 +277,13 @@ def make_parallel_epoch_step(
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
         return weights, opt_state, key, metrics
 
-    slab_spec = P(AXIS, None, None) if ring else P(AXIS, None)
     sharded_step = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
             P(), P(), P(),  # weights, opt, key: replicated
             P(AXIS, None), P(AXIS), P(AXIS),  # x, labels, split: row-sharded
-            slab_spec, slab_spec, slab_spec,  # graph slabs
+            *graph_specs,
         ),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
@@ -229,24 +305,23 @@ def make_parallel_eval_fn(
     (src/gcn.cu:440-455)."""
     wd = cfg.adam.weight_decay
     n = split_counts[split]
-    ring = sgraph.ring
     forward = _make_forward(cfg, sgraph)
+    graph_specs, _ = _graph_specs(sgraph)
 
-    def eval_step(weights, x_local, labels_local, split_local, rowl, colg, val):
-        rowl, colg, val = rowl[0], colg[0], val[0]
-        logits = forward(weights, x_local, rowl, colg, val, False, None)
+    def eval_step(weights, x_local, labels_local, split_local, *graph_args):
+        graph_args = tuple(a[0] for a in graph_args)
+        logits = forward(weights, x_local, graph_args, False, None)
         ce, acc = _masked_ce_local(logits, labels_local, split_local == split, n)
         loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
         return loss, acc
 
-    slab_spec = P(AXIS, None, None) if ring else P(AXIS, None)
     sharded = jax.shard_map(
         eval_step,
         mesh=mesh,
         in_specs=(
             P(),
             P(AXIS, None), P(AXIS), P(AXIS),
-            slab_spec, slab_spec, slab_spec,
+            *graph_specs,
         ),
         out_specs=(P(), P()),
         check_vma=False,
@@ -277,6 +352,7 @@ def fit_parallel(
     from parallel_gcn_tpu.optim import init_adam
     from parallel_gcn_tpu.parallel.partition import (
         partition_graph,
+        partition_graph_hybrid,
         partition_graph_ring,
     )
     from parallel_gcn_tpu.train import FitResult
@@ -292,8 +368,21 @@ def fit_parallel(
         )
     verbose = cfg.train.verbose if verbose is None else verbose
 
-    part = partition_graph_ring if halo == "ring" else partition_graph
-    sgraph = part(ds.graph, n_devices, node_pad=cfg.tpu.node_pad)
+    if cfg.tpu.backend in ("hybrid", "bcsr"):
+        # tile-accelerated per-device aggregation (all_gather halo)
+        tile_dtype = (
+            np.float32 if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+        )
+        sgraph = partition_graph_hybrid(
+            ds.graph, n_devices, node_pad=cfg.tpu.node_pad,
+            tile_r=cfg.tpu.tile_size, tile_c=cfg.tpu.tile_cols,
+            tile_dtype=np.dtype(tile_dtype),
+            tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
+            min_tile_nnz=cfg.tpu.min_tile_nnz or None,
+        )
+    else:
+        part = partition_graph_ring if halo == "ring" else partition_graph
+        sgraph = part(ds.graph, n_devices, node_pad=cfg.tpu.node_pad)
     mesh = make_mesh(n_devices)
     x, labels, split = shard_dataset(ds, sgraph)
     inputs = device_put_sharded_inputs(mesh, sgraph, x, labels, split)
@@ -348,16 +437,19 @@ def fit_parallel(
     )
 
 
-def device_put_sharded_inputs(mesh: Mesh, sgraph: ShardedGraph, x, labels, split):
-    """Place the row-sharded arrays on the mesh."""
+def device_put_sharded_inputs(mesh: Mesh, sgraph, x, labels, split):
+    """Place the row-sharded arrays on the mesh. Returns
+    (x, labels, split, *graph_arrays) matching the step/eval signatures."""
     row_sh = NamedSharding(mesh, P(AXIS))
     mat_sh = NamedSharding(mesh, P(AXIS, None))
-    slab_sh = NamedSharding(mesh, P(AXIS, None, None)) if sgraph.ring else mat_sh
+    graph_specs, graph_arrays = _graph_specs(sgraph)
+    placed_graph = tuple(
+        jax.device_put(a, NamedSharding(mesh, s))
+        for a, s in zip(graph_arrays, graph_specs)
+    )
     return (
         jax.device_put(x, mat_sh),
         jax.device_put(labels, row_sh),
         jax.device_put(split, row_sh),
-        jax.device_put(sgraph.row_local, slab_sh),
-        jax.device_put(sgraph.col, slab_sh),
-        jax.device_put(sgraph.val, slab_sh),
+        *placed_graph,
     )

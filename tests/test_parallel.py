@@ -172,6 +172,88 @@ def test_graphsum_ring_gradient_matches_dense():
     np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-5)
 
 
+def test_hybrid_sharded_matches_single_device():
+    """Per-device tile slabs + residual (HybridShardedGraph) must reproduce
+    the single-device aggregation, forward AND gradient (the sharded operator
+    is self-adjoint because the global Â is symmetric)."""
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+    from parallel_gcn_tpu.parallel.train_parallel import graphsum_dist_hybrid
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        n_dev = 4
+        csr, _ = random_graph(520, 7, seed=11)
+        sg = partition_graph_hybrid(csr, n_dev, tile_r=128, min_tile_nnz=8)
+        assert sg.n_nodes_pad % n_dev == 0
+        mesh = make_mesh(n_dev)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((sg.n_nodes_pad, 16)).astype(np.float32)
+
+        g1 = build_graph(csr, n_nodes_pad=sg.n_nodes_pad)
+        from parallel_gcn_tpu.ops.graphsum import graphsum
+
+        expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
+
+        def agg(x, tiles, trow, tcol, rr, rc, rv):
+            return graphsum_dist_hybrid(
+                x, tiles[0], trow[0], tcol[0], rr[0], rc[0], rv[0],
+                sg.n_local, sg.n_nodes_pad,
+            )
+
+        specs = (
+            P(AXIS, None),
+            P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
+            P(AXIS, None), P(AXIS, None), P(AXIS, None),
+        )
+        fn = jax.jit(jax.shard_map(
+            agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+            check_vma=False,
+        ))
+        args = (x, sg.tiles, sg.trow, sg.tcol, sg.res_row, sg.res_col, sg.res_val)
+        out = np.asarray(fn(*args))
+        np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+
+        # gradient: d sum(Âx)/dx = Â^T 1 = Â 1
+        adj = np.zeros((sg.n_nodes_pad, sg.n_nodes_pad), np.float32)
+        adj[csr.row_ids(), csr.indices] = csr.values
+        expected_grad = adj.T @ np.ones_like(x)
+        grad = np.asarray(jax.jit(jax.grad(
+            lambda x: jnp.sum(jax.shard_map(
+                agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+                check_vma=False,
+            )(x, *args[1:]))
+        ))(jnp.asarray(x)))
+        np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-5)
+    finally:
+        pallas_bcsr._INTERPRET[0] = old
+
+
+def test_fit_parallel_hybrid_end_to_end():
+    """fit_parallel with backend=hybrid (tile-accelerated sharded aggregation)."""
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        ds = _dataset()
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                          epochs=40, early_stopping=0),
+            tpu=TPUConfig(backend="hybrid", seed=7, n_devices=4,
+                          min_tile_nnz=4, matmul_precision="highest"),
+            train=TrainConfig(verbose=False),
+        )
+        res = fit_parallel(cfg, ds)
+        assert res.history[-1, 0] < res.history[0, 0]
+        assert res.test_acc > 0.5
+        assert np.isfinite(res.history).all()
+    finally:
+        pallas_bcsr._INTERPRET[0] = old
+
+
 @pytest.mark.parametrize("halo", ["all_gather", "ring"])
 def test_fit_parallel_end_to_end(halo):
     """The complete multi-chip driver: trains, evaluates test, early-stops."""
