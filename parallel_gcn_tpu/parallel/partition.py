@@ -53,6 +53,26 @@ class ShardedGraph:
         return self.n_dev * self.n_local
 
 
+def _slice_coo_by_dest(rows, cols, vals, n_dev, n_local, n_pad):
+    """Cut row-sorted COO triplets into per-dest-device slabs of equal static
+    shape (padding: val 0, row n_local-1, col n_pad-1)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    bounds = np.searchsorted(rows, np.arange(1, n_dev) * n_local)
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(rows)]])
+    e_local = pad_to_multiple(max(int((ends - starts).max()), 1), 128)
+    row_s = np.full((n_dev, e_local), n_local - 1, dtype=np.int32)
+    col_s = np.full((n_dev, e_local), n_pad - 1, dtype=np.int32)
+    val_s = np.zeros((n_dev, e_local), dtype=np.float32)
+    for d in range(n_dev):
+        s, e = int(starts[d]), int(ends[d])
+        cnt = e - s
+        row_s[d, :cnt] = (rows[s:e] - d * n_local).astype(np.int32)
+        col_s[d, :cnt] = cols[s:e]
+        val_s[d, :cnt] = vals[s:e]
+    return row_s, col_s, val_s
+
+
 def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph:
     """Split a host CSR into ``n_dev`` contiguous row blocks.
 
@@ -63,22 +83,10 @@ def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph
     n_local = pad_to_multiple(-(-csr.n_rows // n_dev), node_pad)
     n_pad = n_local * n_dev
 
-    rows = csr.row_ids()
-    # row-sorted already (CSR expansion); find per-device edge ranges
-    bounds = np.searchsorted(rows, np.arange(1, n_dev) * n_local)
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [csr.nnz]])
-    e_local = pad_to_multiple(max(int((ends - starts).max()), 1), 128)
-
-    row_local = np.full((n_dev, e_local), n_local - 1, dtype=np.int32)
-    col = np.full((n_dev, e_local), n_pad - 1, dtype=np.int32)
-    val = np.zeros((n_dev, e_local), dtype=np.float32)
-    for d in range(n_dev):
-        s, e = int(starts[d]), int(ends[d])
-        cnt = e - s
-        row_local[d, :cnt] = rows[s:e] - d * n_local
-        col[d, :cnt] = csr.indices[s:e]
-        val[d, :cnt] = csr.values[s:e]
+    # CSR expansion is row-sorted already
+    row_local, col, val = _slice_coo_by_dest(
+        csr.row_ids(), csr.indices, csr.values, n_dev, n_local, n_pad
+    )
 
     return ShardedGraph(
         row_local=row_local,
@@ -188,10 +196,16 @@ def partition_graph_hybrid(
     from parallel_gcn_tpu.data.graph import split_dense_tiles
     from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
+    import math
+
     tile_c = tile_c or tile_r
     assert tile_c % tile_r == 0, (tile_r, tile_c)
-    n_local = pad_to_multiple(-(-csr.n_rows // n_dev), max(node_pad, tile_c))
+    # rows per device must be a whole number of tile rows AND honor node_pad
+    n_local = pad_to_multiple(
+        -(-csr.n_rows // n_dev), math.lcm(node_pad, tile_c)
+    )
     n_pad = n_local * n_dev
+    assert n_local % tile_r == 0 and n_pad % tile_c == 0
 
     rows = csr.row_ids()
     cols = csr.indices
@@ -212,6 +226,20 @@ def partition_graph_hybrid(
     dev_of_tile = g_trow // rows_per_dev
     counts = np.bincount(dev_of_tile, minlength=n_dev)
     T = int(counts.max())
+    mean_t = max(counts.mean(), 1.0)
+    if T > 1.5 * mean_t:
+        # every device is padded to the max slab (SPMD static shapes), so a
+        # hot row block (e.g. a hubs-first leading block) turns imbalance
+        # into redundant zero-tile work AND memory on every chip
+        import warnings
+
+        warnings.warn(
+            f"hybrid partition tile imbalance: max {T} vs mean {mean_t:.0f} "
+            f"tiles/device — all devices pad to {T}. A flatter node order "
+            "(e.g. rcm, or community order without the hubs-first block) "
+            "balances the slabs.",
+            stacklevel=2,
+        )
     tiles = np.zeros((n_dev, T, tile_r, tile_c), dtype=g_tiles.dtype)
     trow = np.full((n_dev, T), rows_per_dev - 1, dtype=np.int32)
     tcol = np.zeros((n_dev, T), dtype=np.int32)
@@ -223,22 +251,9 @@ def partition_graph_hybrid(
         tcol[d, :k] = g_tcol[sel]                      # (= last row) keep order
 
     # residual: per-dest-device slabs, global source cols (row-sorted subset)
-    r_rows = rows[~in_tiles].astype(np.int64)
-    r_cols = cols[~in_tiles]
-    r_vals = vals[~in_tiles]
-    bounds = np.searchsorted(r_rows, np.arange(1, n_dev) * n_local)
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(r_rows)]])
-    e_local = pad_to_multiple(max(int((ends - starts).max()), 1), 128)
-    res_row = np.full((n_dev, e_local), n_local - 1, dtype=np.int32)
-    res_col = np.full((n_dev, e_local), n_pad - 1, dtype=np.int32)
-    res_val = np.zeros((n_dev, e_local), dtype=np.float32)
-    for d in range(n_dev):
-        s, e = int(starts[d]), int(ends[d])
-        cnt = e - s
-        res_row[d, :cnt] = (r_rows[s:e] - d * n_local).astype(np.int32)
-        res_col[d, :cnt] = r_cols[s:e]
-        res_val[d, :cnt] = r_vals[s:e]
+    res_row, res_col, res_val = _slice_coo_by_dest(
+        rows[~in_tiles], cols[~in_tiles], vals[~in_tiles], n_dev, n_local, n_pad
+    )
 
     return HybridShardedGraph(
         tiles=tiles, trow=trow, tcol=tcol,

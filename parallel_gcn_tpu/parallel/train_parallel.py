@@ -369,6 +369,12 @@ def fit_parallel(
     verbose = cfg.train.verbose if verbose is None else verbose
 
     if cfg.tpu.backend in ("hybrid", "bcsr"):
+        if halo == "ring":
+            raise ValueError(
+                "backend=hybrid/bcsr uses per-device tile slabs against the "
+                "all_gather halo; the ppermute ring is only available with "
+                "the COO backends (set backend=segment for halo=ring)"
+            )
         # tile-accelerated per-device aggregation (all_gather halo)
         tile_dtype = (
             np.float32 if cfg.tpu.matmul_precision == "highest" else "bfloat16"

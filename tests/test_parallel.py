@@ -172,10 +172,16 @@ def test_graphsum_ring_gradient_matches_dense():
     np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-5)
 
 
-def test_hybrid_sharded_matches_single_device():
+@pytest.mark.parametrize("tile_r,tile_c,dtype,tol", [
+    (128, 128, np.float32, 2e-5),
+    (128, 256, np.float32, 2e-5),   # rectangular: exercises the mirror split
+    (128, 256, "bfloat16", 3e-2),   # production tile dtype
+])
+def test_hybrid_sharded_matches_single_device(tile_r, tile_c, dtype, tol):
     """Per-device tile slabs + residual (HybridShardedGraph) must reproduce
     the single-device aggregation, forward AND gradient (the sharded operator
-    is self-adjoint because the global Â is symmetric)."""
+    is self-adjoint because the global Â is symmetric) — across square,
+    rectangular, and bf16 slab geometries."""
     from parallel_gcn_tpu.ops import pallas_bcsr
     from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
     from parallel_gcn_tpu.parallel.train_parallel import graphsum_dist_hybrid
@@ -185,7 +191,10 @@ def test_hybrid_sharded_matches_single_device():
     try:
         n_dev = 4
         csr, _ = random_graph(520, 7, seed=11)
-        sg = partition_graph_hybrid(csr, n_dev, tile_r=128, min_tile_nnz=8)
+        sg = partition_graph_hybrid(
+            csr, n_dev, tile_r=tile_r, tile_c=tile_c,
+            tile_dtype=np.dtype(dtype), min_tile_nnz=8,
+        )
         assert sg.n_nodes_pad % n_dev == 0
         mesh = make_mesh(n_dev)
         rng = np.random.default_rng(0)
@@ -213,7 +222,7 @@ def test_hybrid_sharded_matches_single_device():
         ))
         args = (x, sg.tiles, sg.trow, sg.tcol, sg.res_row, sg.res_col, sg.res_val)
         out = np.asarray(fn(*args))
-        np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(out, expected, rtol=tol, atol=tol)
 
         # gradient: d sum(Âx)/dx = Â^T 1 = Â 1
         adj = np.zeros((sg.n_nodes_pad, sg.n_nodes_pad), np.float32)
@@ -225,7 +234,8 @@ def test_hybrid_sharded_matches_single_device():
                 check_vma=False,
             )(x, *args[1:]))
         ))(jnp.asarray(x)))
-        np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(grad, expected_grad, rtol=tol,
+                                   atol=tol * 10)
     finally:
         pallas_bcsr._INTERPRET[0] = old
 
