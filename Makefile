@@ -6,7 +6,7 @@
 PY ?= python
 
 .PHONY: test run-cora run-citeseer run-pubmed run-reddit bench perf accuracy \
-        tuning layout golden scaling native clean
+        tuning layout golden scaling plots native clean
 
 test:
 	$(PY) -m pytest tests/ -x -q
@@ -42,6 +42,9 @@ layout:
 
 golden:
 	$(PY) harness/performance_golden.py
+
+plots:
+	$(PY) harness/plots.py
 
 scaling:
 	$(PY) harness/scaling.py synth-medium --devices 1,2,4,8
