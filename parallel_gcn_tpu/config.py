@@ -132,6 +132,12 @@ class TPUConfig:
     # tile columns (0 = square); wide tiles suit banded (RCM) structure —
     # must be a multiple of tile_size
     tile_cols: int = 0
+    # tile storage dtype for bcsr/hybrid packs: auto (float32 when
+    # matmul_precision=highest, else bfloat16) | float32 | bfloat16 | int8.
+    # int8 stores the exact 0/1 edge pattern with the degree normalization
+    # applied outside the kernel (out = d ⊙ B(d ⊙ x), d = deg^{-1/2}) — an
+    # exact factorization, NOT quantization; halves the bf16 tile stream
+    tile_dtype: str = "auto"
     # byte budget for resident Â tiles (hybrid backend)
     tile_budget_mb: int = 3072
     # minimum nnz for a tile to qualify (0 = auto break-even vs gather cost)
@@ -155,6 +161,11 @@ class TPUConfig:
             )
         if self.halo not in ("all_gather", "ring"):
             raise ValueError(f"halo must be all_gather|ring, got {self.halo!r}")
+        if self.tile_dtype not in ("auto", "float32", "bfloat16", "int8"):
+            raise ValueError(
+                "tile_dtype must be auto|float32|bfloat16|int8, "
+                f"got {self.tile_dtype!r}"
+            )
 
 
 @dataclass

@@ -233,6 +233,29 @@ def build_graph(
     cols_np = csr.indices
     vals_np = csr.values
 
+    sym_scale = None
+    if np.dtype(tile_dtype) == np.int8:
+        # int8 pattern pack: recover d (= deg^{-1/2}) from the self-loop
+        # values (v_ii = d_i², self-loop guaranteed first-neighbor by the
+        # parser) and verify the factorization v_ij = d_i·d_j holds — it does
+        # for any symmetrically-normalized adjacency, which is the only thing
+        # the reference's calculateGraphValues produces.
+        selfloops = rows_np == cols_np
+        d = np.zeros(n_pad, dtype=np.float64)
+        d[rows_np[selfloops]] = np.sqrt(vals_np[selfloops].astype(np.float64))
+        if not (d[: csr.n_rows] > 0).all():
+            raise ValueError(
+                "tile_dtype=int8 needs a self-loop on every node to recover d"
+            )
+        if not np.allclose(
+            vals_np, d[rows_np] * d[cols_np], rtol=1e-4, atol=1e-7
+        ):
+            raise ValueError(
+                "tile_dtype=int8 requires values of the form 1/sqrt(deg·deg) "
+                "(symmetric normalization); got values that do not factor"
+            )
+        sym_scale = d.astype(np.float32)
+
     coo_complete = True
     bcsr_pack = None
     if hybrid:
@@ -247,6 +270,7 @@ def build_graph(
         bcsr_pack = build_bcsr(
             rows_np[in_tiles], cols_np[in_tiles], vals_np[in_tiles], n_pad,
             dtype=tile_dtype, tile=tile_size, tile_c=tile_cols,
+            sym_scale=sym_scale,
         )
         rows_np = rows_np[~in_tiles]
         cols_np = cols_np[~in_tiles]
@@ -277,6 +301,7 @@ def build_graph(
         bcsr_pack = build_bcsr(
             csr.row_ids(), csr.indices, csr.values, n_pad,
             dtype=tile_dtype, tile=tile_size, tile_c=tile_cols,
+            sym_scale=sym_scale,
         )
         assert bcsr_pack.n_nodes == n_pad
 

@@ -311,8 +311,13 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         backend == "auto" and ds.n_nodes <= cfg.tpu.dense_threshold
     )
     # bf16 tiles double the coverage per byte of tile budget; keep true-f32
-    # tiles only when full f32 parity is requested
-    tile_dtype = "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+    # tiles only when full f32 parity is requested. int8 (opt-in) stores the
+    # exact 0/1 pattern with out-of-kernel degree scaling — see TPUConfig.
+    tile_dtype = cfg.tpu.tile_dtype
+    if tile_dtype == "auto":
+        tile_dtype = (
+            "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+        )
     dds = to_device(
         ds,
         node_pad=cfg.tpu.node_pad,

@@ -50,7 +50,7 @@ class BCSR:
     matrix through bcsr_matmul's autodiff.
     """
 
-    tiles: jnp.ndarray  # [T, tile_r, tile_c] — dense tile data (f32 or bf16)
+    tiles: jnp.ndarray  # [T, tile_r, tile_c] — dense tile data (f32/bf16/int8)
     tile_rows: jnp.ndarray  # int32 [T] — tile-row index, ascending
     tile_cols: jnp.ndarray  # int32 [T]
     n_nodes: int = dataclasses.field(metadata=dict(static=True))  # padded cols
@@ -58,6 +58,12 @@ class BCSR:
     # output row count; 0 means square (= n_nodes). A row-block slab of a
     # sharded matrix sets this to its local row count.
     n_rows: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # int8 "binary" packs: Â's values factor as v_ij = d_i·d_j with
+    # d = deg^{-1/2} (symmetric normalization), so tiles store the EXACT 0/1
+    # adjacency pattern in int8 (half the bf16 stream, no quantization error)
+    # and the kernel result is wrapped as out = d ⊙ K(d ⊙ x). ``sym_scale``
+    # holds d ([n_nodes] f32); None for f32/bf16 value packs.
+    sym_scale: jnp.ndarray | None = None
 
     @property
     def n_tiles(self) -> int:
@@ -84,18 +90,31 @@ def build_bcsr(
     dtype=np.float32,
     tile: int = TILE,
     tile_c: int | None = None,
+    sym_scale: np.ndarray | None = None,
 ) -> BCSR:
     """Pack COO triplets into BCSR. ``n_nodes`` is rounded up to a tile-column
     multiple; padding tiles (val 0) keep the tile count static-friendly.
     ``dtype=bfloat16`` halves tile bytes (the kernel accumulates in f32);
     ``tile`` (rows) and ``tile_c`` (columns, default square, must be a
-    multiple of ``tile``) are multiples of 128 (MXU/lane granularity)."""
+    multiple of ``tile``) are multiples of 128 (MXU/lane granularity).
+
+    ``dtype=int8`` stores the EXACT 0/1 edge pattern (quarter the f32 stream)
+    and requires ``sym_scale`` = the d vector ([n_nodes] f32) factoring the
+    values as v_ij = d_i·d_j — valid for any symmetrically-normalized
+    adjacency (Â = D^{-1/2}(A+I)D^{-1/2}). The matmul then computes
+    d ⊙ (pattern · (d ⊙ x)), which is algebraically identical."""
     tile_r = tile
     tile_c = tile_c or tile_r
     assert tile_r % 128 == 0 and tile_c % tile_r == 0, (tile_r, tile_c)
+    binary = np.dtype(dtype) == np.int8
+    if binary:
+        assert sym_scale is not None, "int8 pattern pack needs sym_scale (d)"
+        assert len(sym_scale) >= n_nodes
     n_pad = ((n_nodes + tile_c - 1) // tile_c) * tile_c
     live = vals != 0
     rows, cols, vals = rows[live], cols[live], vals[live]
+    if binary:
+        vals = np.ones_like(vals)
     trow = rows // tile_r
     tcol = cols // tile_c
     n_tile_cols = n_pad // tile_c
@@ -108,7 +127,10 @@ def build_bcsr(
     T = len(uniq)
     tiles = np.zeros((T + len(missing), tile_r, tile_c), dtype=np.float32)
     tiles[inverse, rows % tile_r, cols % tile_c] = vals
-    tiles = tiles.astype(jnp.dtype(dtype)) if dtype != np.float32 else tiles
+    if binary:
+        tiles = tiles.astype(np.int8)
+    elif dtype != np.float32:
+        tiles = tiles.astype(jnp.dtype(dtype))
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     tile_cols = np.concatenate(
         [uniq % n_tile_cols, np.zeros(len(missing), np.int64)]
@@ -124,6 +146,16 @@ def build_bcsr(
         tile_cols=jnp.asarray(tile_cols),
         n_nodes=n_pad,
         n_tiles_real=T,
+        sym_scale=(
+            None
+            if not binary
+            else jnp.asarray(
+                np.pad(
+                    np.asarray(sym_scale, np.float32)[:n_nodes],
+                    (0, n_pad - n_nodes),
+                )
+            )
+        ),
     )
 
 
@@ -137,9 +169,14 @@ def _bcsr_kernel(rows_ref, cols_ref, tiles_ref, x_ref, o_ref):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     t = tiles_ref[0]
-    o_ref[:] += jnp.dot(
-        t, x_ref[:].astype(t.dtype), preferred_element_type=jnp.float32
-    )
+    x = x_ref[:]
+    if t.dtype == jnp.int8:
+        # binary pattern pack: DMA int8 (half the bf16 stream), upconvert on
+        # the VPU, contract at the x dtype on the MXU — exact 0/1 values
+        t = t.astype(x.dtype)
+    else:
+        x = x.astype(t.dtype)
+    o_ref[:] += jnp.dot(t, x, preferred_element_type=jnp.float32)
 
 
 def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes, n_rows=0):
@@ -216,6 +253,16 @@ def bcsr_matmul(bcsr: BCSR, x: jnp.ndarray) -> jnp.ndarray:
     assert not bcsr.n_rows or bcsr.n_rows == bcsr.n_nodes, (
         "rectangular pack: use bcsr_matmul_rect"
     )
+    if bcsr.sym_scale is not None:
+        # d ⊙ (pattern · (d ⊙ x)) == Â·x exactly; diag(d)·B·diag(d) stays
+        # symmetric, so the custom VJP's forward-reuse remains valid and the
+        # outer diagonal scalings are self-adjoint under autodiff.
+        d = bcsr.sym_scale
+        xs = (d[:, None] * x.astype(jnp.float32)).astype(x.dtype)
+        out = _bcsr_matmul(
+            bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, xs, bcsr.n_nodes
+        )
+        return d[:, None] * out
     return _bcsr_matmul(bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, x, bcsr.n_nodes)
 
 
@@ -226,6 +273,9 @@ def bcsr_matmul_rect(bcsr: BCSR, x: jnp.ndarray) -> jnp.ndarray:
     aggregation is self-adjoint at the collective level because the GLOBAL
     matrix is symmetric; see parallel/train_parallel.graphsum_dist_hybrid)."""
     assert x.shape[0] == bcsr.n_nodes, (x.shape, bcsr.n_nodes)
+    assert bcsr.sym_scale is None, (
+        "int8 pattern packs are single-device; build slab packs with values"
+    )
     return _bcsr_matmul_impl(
         bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, x, bcsr.n_nodes, bcsr.n_rows
     )

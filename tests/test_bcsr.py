@@ -97,3 +97,43 @@ def test_rcm_tile_reduction_on_real_graph():
     g_orig = build_graph(csr, bcsr=True)
     g_perm = build_graph(permuted, bcsr=True)
     assert g_perm.bcsr.n_tiles < g_orig.bcsr.n_tiles
+
+
+@pytest.mark.parametrize("hybrid", [False, True])
+def test_int8_pattern_pack_matches_golden(hybrid):
+    """int8 tiles store the exact 0/1 pattern; out = d ⊙ B(d ⊙ x) must equal
+    the value-tile result to f32 tolerance (factorization, not quantization)."""
+    csr, _ = random_graph(300, 6, seed=4)
+    kw = dict(hybrid=True, min_tile_nnz=2) if hybrid else dict(bcsr=True)
+    graph = build_graph(csr, tile_dtype=np.int8, **kw)
+    b = graph.bcsr
+    assert b.tiles.dtype == jnp.int8
+    assert b.sym_scale is not None and b.sym_scale.shape[0] == b.n_nodes
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((graph.n_nodes, 32)).astype(np.float32))
+    backend = "hybrid" if graph.is_hybrid else "bcsr"
+    out = graphsum(x, graph, backend=backend)
+    ref_graph = build_graph(csr, **kw)
+    expected = graphsum(x, ref_graph, backend=backend)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5
+    )
+    # VJP: diag(d)·B·diag(d) is symmetric -> backward equals forward
+    g = jnp.asarray(rng.standard_normal((graph.n_nodes, 32)).astype(np.float32))
+    _, vjp = jax.vjp(lambda x: graphsum(x, graph, backend=backend), x)
+    (dx,) = vjp(g)
+    expected_dx = graphsum(g, ref_graph, backend=backend)
+    np.testing.assert_allclose(
+        np.asarray(dx), np.asarray(expected_dx), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_int8_pack_rejects_nonfactoring_values():
+    csr, _ = random_graph(100, 4, seed=5)
+    bad = csr.values.copy()
+    bad[0] *= 3.0  # break v_ij = d_i * d_j
+    import dataclasses as dc
+
+    broken = dc.replace(csr, values=bad)
+    with pytest.raises(ValueError):
+        build_graph(broken, bcsr=True, tile_dtype=np.int8)
