@@ -209,6 +209,98 @@ def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -
     return bound
 
 
+def _fused_deferred_forward(
+    model: GCNModel,
+    weights,
+    x_train,
+    x_eval,
+    graph,
+    dkey,
+    *,
+    eval_preagg: bool,
+):
+    """Train forward + DEFERRED eval forward with the last aggregation stacked
+    along the lane (class) dimension.
+
+    The last layer's aggregation is only ``n_classes`` wide (41 on reddit) but
+    the MXU/VPU lane width is 128, so a lone pass wastes ~2/3 of the systolic
+    array; train logits and eval logits stacked side-by-side (2·C ≤ 128 lanes)
+    ride ONE aggregation pass at the same hardware cost. Valid because both
+    forwards use the SAME weights when the eval is the one the reference runs
+    after the PREVIOUS epoch's Adam step (src/gcn.cu:369: eval(2) on updated
+    weights == the weights this epoch's train forward starts from). The caller
+    (the no-early-stopping scan path) realigns the val metrics by one epoch
+    and runs one standalone eval for the final epoch.
+
+    Prefix layers (0..L-2) are shared between the halves outright when every
+    prefix dropout is 0 (the tuned pubmed/reddit configs) — eval's prefix is
+    then bitwise the train prefix. Returns (train_logits, eval_logits), f32.
+    """
+    from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
+
+    dtype = jnp.dtype(model.compute_dtype)
+    L = model.n_layers
+    if any(d > 0 for d in model.dropouts):
+        keys = list(jax.random.split(dkey, L))
+    else:
+        keys = [None] * L
+
+    def agg(h):
+        from parallel_gcn_tpu.ops.graphsum import graphsum
+
+        return graphsum(
+            h,
+            graph,
+            backend=model.backend,
+            edge_chunk=model.edge_chunk,
+            dense_threshold=model.dense_threshold,
+            precision=model.precision,
+        )
+
+    def prefix(h, training, preagg):
+        # layers 0..L-2 of GCNModel.apply (dropout → transform → aggregate
+        # [+residual] → relu); keys index by layer like apply does
+        prev = None
+        for layer in range(L - 1):
+            if training:
+                h = model._dropout(h, model.dropouts[layer], keys[layer], True)
+            h = feature_transform(
+                h, weights[layer], precision=model.precision
+            ).astype(dtype)
+            if not (layer == 0 and preagg):
+                h = agg(h)
+            if (
+                model.residual
+                and 0 < layer < L - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
+            h = jax.nn.relu(h)
+            prev = h
+        return h
+
+    train_preagg = model.input_preagg
+    share = train_preagg and all(d == 0 for d in model.dropouts[: L - 1])
+    ht = prefix(x_train.astype(dtype), True, train_preagg)
+    he = ht if share else prefix(x_eval.astype(dtype), False, eval_preagg)
+
+    at = feature_transform(
+        model._dropout(ht, model.dropouts[L - 1], keys[L - 1], True),
+        weights[L - 1],
+        precision=model.precision,
+    ).astype(dtype)
+    ae = feature_transform(he, weights[L - 1], precision=model.precision).astype(
+        dtype
+    )
+    n_classes = at.shape[1]
+    stacked = agg(jnp.concatenate([at, ae], axis=1))
+    return (
+        stacked[:, :n_classes].astype(jnp.float32),
+        stacked[:, n_classes:].astype(jnp.float32),
+    )
+
+
 def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     """The fused whole-run jit: lax.while_loop over epochs with on-device early
     stopping. Returns (weights, opt, metrics[epochs,4], epochs_run).
@@ -253,6 +345,70 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
             val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
             return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
+
+        # deferred-eval fusion applies when the epoch schedule is static (no
+        # early stopping — the stopping rule needs epoch e's val loss BEFORE
+        # deciding to run e+1, but the deferred schedule produces it during
+        # e+1). The fused-dropout kernel path keeps apply()'s own fusion.
+        fused_eval = k == 0 and epochs > 0 and not (
+            model.fuse_dropout_matmul
+            and model.dropout_impl == "pallas"
+            and any(d > 0 for d in model.dropouts)
+        )
+        if fused_eval:
+            # epoch e's body computes the train step AND epoch e-1's val
+            # forward in one stacked last aggregation (see
+            # _fused_deferred_forward); val metrics are realigned by one
+            # epoch after the scan, with one standalone eval for the final
+            # epoch. Numerically identical to the plain schedule.
+            def scan_body(carry, _):
+                weights, opt_state, key = carry
+                key, dkey = jax.random.split(key)
+
+                def fused_loss(w, dkey):
+                    lt, le = _fused_deferred_forward(
+                        model, w, x, x_eval, graph, dkey,
+                        eval_preagg=eval_preagg,
+                    )
+                    loss, acc = masked_softmax_xent(
+                        lt, labels, train_mask, n_train
+                    )
+                    vce, vacc = masked_softmax_xent(
+                        jax.lax.stop_gradient(le), labels, val_mask, n_val
+                    )
+                    return loss, (acc, vce, vacc)
+
+                (ce, (ta, vce, vacc)), grads = jax.value_and_grad(
+                    fused_loss, has_aux=True
+                )(weights, dkey)
+                # l2 of the PRE-update W0 — for the train loss by reference
+                # semantics (src/gcn.cu:314), for the val loss because these
+                # weights ARE the ones the deferred eval ran on
+                pen = jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+                tl = ce + pen
+                vl = vce + pen
+                weights, opt_state = adam_step(
+                    weights, grads, opt_state,
+                    learning_rate=adam.learning_rate, weight_decay=wd,
+                    beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
+                )
+                return (weights, opt_state, key), jnp.stack([tl, ta, vl, vacc])
+
+            (weights, opt_state, _), em = jax.lax.scan(
+                scan_body, (weights, opt_state, key), None, length=epochs
+            )
+            # em[e, 2:4] holds epoch e-1's val metrics (em[0] evaluated the
+            # initial weights — dropped); the final epoch's eval runs here
+            val_logits = model.apply(
+                weights, x_eval, graph, training=False, input_preagg=eval_preagg
+            )
+            vce, vacc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
+            vl_fin = vce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            val_cols = jnp.concatenate(
+                [em[1:, 2:4], jnp.stack([vl_fin, vacc])[None, :]], axis=0
+            )
+            metrics = jnp.concatenate([em[:, :2], val_cols], axis=1)
+            return weights, opt_state, metrics, jnp.asarray(epochs, jnp.int32)
 
         if k == 0:
             # no early stopping: a plain scan — no stopped-lane freezing, no

@@ -334,3 +334,22 @@ def test_checkpoint_resume(tmp_path):
         np.asarray(jax.random.key_data(key)), np.asarray(jax.random.key_data(key2))
     )
     assert int(opt2.step) == int(opt.step)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(n_layers=3, hidden_dims=(16, 16), dropouts=(0.2, 0.1, 0.2),
+             residual=True),
+        dict(dropouts=(0.0, 0.3)),  # zero input dropout -> shared prefix
+        dict(dropouts=(0.0, 0.0)),
+    ],
+)
+def test_fused_deferred_eval_matches_eager(kw):
+    """The stacked deferred-eval scan (train._fused_deferred_forward) must
+    reproduce the eager per-epoch schedule's metrics exactly across layer
+    counts, residuals, and dropout patterns."""
+    r_scan = _fit_synthetic("scan", epochs=25, **kw)
+    r_eager = _fit_synthetic("eager", epochs=25, **kw)
+    np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(r_scan.test_acc, r_eager.test_acc, atol=1e-6)
