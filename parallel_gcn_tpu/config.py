@@ -207,6 +207,7 @@ _KEYMAP = {
     "tile_size": ("tpu", "tile_size"),
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
     "tile_cols": ("tpu", "tile_cols"),
+    "tile_dtype": ("tpu", "tile_dtype"),
     "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),

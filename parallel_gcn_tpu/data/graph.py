@@ -201,6 +201,30 @@ def split_dense_tiles(
     return mask
 
 
+def recover_sym_scale(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int, n_pad: int
+) -> np.ndarray:
+    """Recover d (= deg^{-1/2}) such that v_ij = d_i·d_j, for int8 pattern
+    packs. d comes from the self-loop values (v_ii = d_i², self-loop
+    guaranteed first-neighbor by the parser, src/parser.cpp:29-31) and the
+    factorization is verified — it holds for any symmetrically-normalized
+    adjacency, which is the only thing the reference's calculateGraphValues
+    produces (src/parser.cpp:164-181). Raises ValueError otherwise."""
+    selfloops = rows == cols
+    d = np.zeros(n_pad, dtype=np.float64)
+    d[rows[selfloops]] = np.sqrt(vals[selfloops].astype(np.float64))
+    if not (d[:n_rows] > 0).all():
+        raise ValueError(
+            "tile_dtype=int8 needs a self-loop on every node to recover d"
+        )
+    if not np.allclose(vals, d[rows] * d[cols], rtol=1e-4, atol=1e-7):
+        raise ValueError(
+            "tile_dtype=int8 requires values of the form 1/sqrt(deg·deg) "
+            "(symmetric normalization); got values that do not factor"
+        )
+    return d.astype(np.float32)
+
+
 def build_graph(
     csr: HostCSR,
     *,
@@ -235,26 +259,7 @@ def build_graph(
 
     sym_scale = None
     if np.dtype(tile_dtype) == np.int8:
-        # int8 pattern pack: recover d (= deg^{-1/2}) from the self-loop
-        # values (v_ii = d_i², self-loop guaranteed first-neighbor by the
-        # parser) and verify the factorization v_ij = d_i·d_j holds — it does
-        # for any symmetrically-normalized adjacency, which is the only thing
-        # the reference's calculateGraphValues produces.
-        selfloops = rows_np == cols_np
-        d = np.zeros(n_pad, dtype=np.float64)
-        d[rows_np[selfloops]] = np.sqrt(vals_np[selfloops].astype(np.float64))
-        if not (d[: csr.n_rows] > 0).all():
-            raise ValueError(
-                "tile_dtype=int8 needs a self-loop on every node to recover d"
-            )
-        if not np.allclose(
-            vals_np, d[rows_np] * d[cols_np], rtol=1e-4, atol=1e-7
-        ):
-            raise ValueError(
-                "tile_dtype=int8 requires values of the form 1/sqrt(deg·deg) "
-                "(symmetric normalization); got values that do not factor"
-            )
-        sym_scale = d.astype(np.float32)
+        sym_scale = recover_sym_scale(rows_np, cols_np, vals_np, csr.n_rows, n_pad)
 
     coo_complete = True
     bcsr_pack = None

@@ -159,16 +159,21 @@ class HybridShardedGraph:
     identical static shapes.
     """
 
-    tiles: np.ndarray  # [n_dev, T, tile_r, tile_c] (f32 or bf16)
+    tiles: np.ndarray  # [n_dev, T, tile_r, tile_c] (f32, bf16 or int8 pattern)
     trow: np.ndarray  # int32 [n_dev, T] — LOCAL tile-row ids, ascending
     tcol: np.ndarray  # int32 [n_dev, T] — GLOBAL tile-col ids
     res_row: np.ndarray  # int32 [n_dev, e_local] — local dest rows
     res_col: np.ndarray  # int32 [n_dev, e_local] — global source cols
-    res_val: np.ndarray  # float32 [n_dev, e_local]
+    res_val: np.ndarray  # float32 [n_dev, e_local] (int8 mode: 1.0 / 0.0 pad)
     n_dev: int
     n_local: int
     n_real_nodes: int
     n_real_edges: int
+    # int8 pattern mode: row-sharded d (= deg^{-1/2}) [n_dev, n_local]; the
+    # aggregation becomes d_local ⊙ (slab(ag(d_local ⊙ x)) + residual) with
+    # residual values 1 — scale-before-gather keeps ONE collective. None for
+    # value (f32/bf16) packs.
+    sym_scale: np.ndarray | None = None
 
     @property
     def n_nodes_pad(self) -> int:
@@ -210,13 +215,18 @@ def partition_graph_hybrid(
     rows = csr.row_ids()
     cols = csr.indices
     vals = csr.values
+    sym_scale = None
+    if np.dtype(tile_dtype) == np.int8:
+        from parallel_gcn_tpu.data.graph import recover_sym_scale
+
+        sym_scale = recover_sym_scale(rows, cols, vals, csr.n_rows, n_pad)
     in_tiles = split_dense_tiles(
         rows, cols, n_pad, min_tile_nnz, tile_budget_bytes,
         tile=tile_r, bytes_per_elem=np.dtype(tile_dtype).itemsize, tile_c=tile_c,
     )
     pack = build_bcsr(
         rows[in_tiles], cols[in_tiles], vals[in_tiles], n_pad,
-        dtype=tile_dtype, tile=tile_r, tile_c=tile_c,
+        dtype=tile_dtype, tile=tile_r, tile_c=tile_c, sym_scale=sym_scale,
     )
     g_trow = np.asarray(pack.tile_rows)
     g_tcol = np.asarray(pack.tile_cols)
@@ -250,9 +260,14 @@ def partition_graph_hybrid(
         trow[d, :k] = g_trow[sel] - d * rows_per_dev  # sorted ascending; pads
         tcol[d, :k] = g_tcol[sel]                      # (= last row) keep order
 
-    # residual: per-dest-device slabs, global source cols (row-sorted subset)
+    # residual: per-dest-device slabs, global source cols (row-sorted subset).
+    # int8 mode: residual values become the 0/1 indicator — the residual rides
+    # the same d-scaled features as the tile slabs (one gather, exact)
+    rvals = vals[~in_tiles]
+    if sym_scale is not None:
+        rvals = (rvals != 0).astype(np.float32)
     res_row, res_col, res_val = _slice_coo_by_dest(
-        rows[~in_tiles], cols[~in_tiles], vals[~in_tiles], n_dev, n_local, n_pad
+        rows[~in_tiles], cols[~in_tiles], rvals, n_dev, n_local, n_pad
     )
 
     return HybridShardedGraph(
@@ -260,4 +275,6 @@ def partition_graph_hybrid(
         res_row=res_row, res_col=res_col, res_val=res_val,
         n_dev=n_dev, n_local=n_local,
         n_real_nodes=csr.n_rows, n_real_edges=csr.nnz,
+        sym_scale=None if sym_scale is None else
+        sym_scale[: n_pad].reshape(n_dev, n_local),
     )

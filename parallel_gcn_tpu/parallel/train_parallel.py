@@ -115,6 +115,51 @@ def _agg_hybrid_bwd(n_local, n_pad, axis, res, g):
 graphsum_dist_hybrid.defvjp(_agg_hybrid_fwd, _agg_hybrid_bwd)
 
 
+def _agg_hybrid_scaled_impl(x_local, d_local, tiles, trow, tcol, rrow, rcol,
+                            rval, n_local, n_pad, axis):
+    # int8 pattern slabs: scale BEFORE the gather (ag(d_loc ⊙ x) == d ⊙ ag(x),
+    # one collective), aggregate the 0/1 tiles + unit-valued residual, scale
+    # the local output rows — exactly d ⊙ B (d ⊙ x) = Â·x per local slab.
+    xs = (d_local[:, None] * x_local.astype(jnp.float32)).astype(x_local.dtype)
+    out = _agg_hybrid_impl(
+        xs, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+    )
+    return (d_local[:, None] * out).astype(out.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def graphsum_dist_hybrid_scaled(x_local, d_local, tiles, trow, tcol, rrow,
+                                rcol, rval, n_local, n_pad, axis=AXIS):
+    """graphsum_dist_hybrid for int8 PATTERN slabs (partition_graph_hybrid
+    with tile_dtype=int8): tiles hold the exact 0/1 structure, residual values
+    are 1, and d (= deg^{-1/2}, row-sharded) carries the normalization.
+    Self-adjoint like the value version: diag(d)·B·diag(d) is symmetric."""
+    return _agg_hybrid_scaled_impl(
+        x_local, d_local, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_pad, axis,
+    )
+
+
+def _agg_hybrid_scaled_fwd(x_local, d_local, tiles, trow, tcol, rrow, rcol,
+                           rval, n_local, n_pad, axis):
+    out = _agg_hybrid_scaled_impl(
+        x_local, d_local, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_pad, axis,
+    )
+    return out, (d_local, tiles, trow, tcol, rrow, rcol, rval)
+
+
+def _agg_hybrid_scaled_bwd(n_local, n_pad, axis, res, g):
+    d_local, tiles, trow, tcol, rrow, rcol, rval = res
+    dx = _agg_hybrid_scaled_impl(
+        g, d_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+    )
+    return dx, None, None, None, None, None, None, None
+
+
+graphsum_dist_hybrid_scaled.defvjp(_agg_hybrid_scaled_fwd, _agg_hybrid_scaled_bwd)
+
+
 def graphsum_ring(x_local, row_slabs, col_slabs, val_slabs, n_local, n_dev, axis=AXIS):
     """Distributed Â·x, ``ppermute`` ring halo (SURVEY.md §7.7): node blocks
     rotate around the ICI ring while each device aggregates the slab of edges
@@ -187,6 +232,10 @@ def _make_forward(cfg: Config, sgraph):
 
     def _aggregate(h, graph_args):
         if hybrid:
+            if len(graph_args) == 7:  # (..., rval, d): int8 pattern slabs
+                return graphsum_dist_hybrid_scaled(
+                    h, graph_args[-1], *graph_args[:-1], n_local, n_pad
+                )
             return graphsum_dist_hybrid(h, *graph_args, n_local, n_pad)
         if ring:
             return graphsum_ring(h, *graph_args, n_local, n_dev)
@@ -218,6 +267,9 @@ def _graph_specs(sgraph):
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
         specs = (P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
                  P(AXIS, None), P(AXIS, None), P(AXIS, None))
+        if sgraph.sym_scale is not None:
+            arrays = arrays + (sgraph.sym_scale,)
+            specs = specs + (P(AXIS, None),)
     elif sgraph.ring:
         arrays = (sgraph.row_local, sgraph.col, sgraph.val)
         specs = (P(AXIS, None, None),) * 3
@@ -376,9 +428,11 @@ def fit_parallel(
                 "the COO backends (set backend=segment for halo=ring)"
             )
         # tile-accelerated per-device aggregation (all_gather halo)
-        tile_dtype = (
-            np.float32 if cfg.tpu.matmul_precision == "highest" else "bfloat16"
-        )
+        tile_dtype = cfg.tpu.tile_dtype
+        if tile_dtype == "auto":
+            tile_dtype = (
+                "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+            )
         sgraph = partition_graph_hybrid(
             ds.graph, n_devices, node_pad=cfg.tpu.node_pad,
             tile_r=cfg.tpu.tile_size, tile_c=cfg.tpu.tile_cols,

@@ -176,6 +176,7 @@ def test_graphsum_ring_gradient_matches_dense():
     (128, 128, np.float32, 2e-5),
     (128, 256, np.float32, 2e-5),   # rectangular: exercises the mirror split
     (128, 256, "bfloat16", 3e-2),   # production tile dtype
+    (128, 256, "int8", 2e-5),       # pattern slabs + scale-before-gather (exact)
 ])
 def test_hybrid_sharded_matches_single_device(tile_r, tile_c, dtype, tol):
     """Per-device tile slabs + residual (HybridShardedGraph) must reproduce
@@ -205,22 +206,41 @@ def test_hybrid_sharded_matches_single_device(tile_r, tile_c, dtype, tol):
 
         expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
 
-        def agg(x, tiles, trow, tcol, rr, rc, rv):
-            return graphsum_dist_hybrid(
-                x, tiles[0], trow[0], tcol[0], rr[0], rc[0], rv[0],
-                sg.n_local, sg.n_nodes_pad,
+        if sg.sym_scale is not None:
+            from parallel_gcn_tpu.parallel.train_parallel import (
+                graphsum_dist_hybrid_scaled,
             )
+
+            def agg(x, tiles, trow, tcol, rr, rc, rv, d):
+                return graphsum_dist_hybrid_scaled(
+                    x, d[0], tiles[0], trow[0], tcol[0], rr[0], rc[0], rv[0],
+                    sg.n_local, sg.n_nodes_pad,
+                )
+
+            extra_specs = (P(AXIS, None),)
+            extra_args = (sg.sym_scale,)
+        else:
+
+            def agg(x, tiles, trow, tcol, rr, rc, rv):
+                return graphsum_dist_hybrid(
+                    x, tiles[0], trow[0], tcol[0], rr[0], rc[0], rv[0],
+                    sg.n_local, sg.n_nodes_pad,
+                )
+
+            extra_specs = ()
+            extra_args = ()
 
         specs = (
             P(AXIS, None),
             P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
             P(AXIS, None), P(AXIS, None), P(AXIS, None),
-        )
+        ) + extra_specs
         fn = jax.jit(jax.shard_map(
             agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
             check_vma=False,
         ))
-        args = (x, sg.tiles, sg.trow, sg.tcol, sg.res_row, sg.res_col, sg.res_val)
+        args = (x, sg.tiles, sg.trow, sg.tcol, sg.res_row, sg.res_col,
+                sg.res_val) + extra_args
         out = np.asarray(fn(*args))
         np.testing.assert_allclose(out, expected, rtol=tol, atol=tol)
 
@@ -241,25 +261,37 @@ def test_hybrid_sharded_matches_single_device(tile_r, tile_c, dtype, tol):
 
 
 def test_fit_parallel_hybrid_end_to_end():
-    """fit_parallel with backend=hybrid (tile-accelerated sharded aggregation)."""
+    """fit_parallel with backend=hybrid (tile-accelerated sharded aggregation):
+    value slabs train end-to-end, and int8 pattern slabs reproduce their LOSS
+    trajectory exactly (the d ⊙ B(d ⊙ x) factorization is exact; accuracies
+    can flip on this fixture's exact truth==max ties under 1e-7 noise, so the
+    loss columns are the robust invariant)."""
     from parallel_gcn_tpu.ops import pallas_bcsr
     from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
 
     old = pallas_bcsr._INTERPRET[0]
     pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
     try:
-        ds = _dataset()
-        cfg = Config(
-            gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
-                          epochs=40, early_stopping=0),
-            tpu=TPUConfig(backend="hybrid", seed=7, n_devices=4,
-                          min_tile_nnz=4, matmul_precision="highest"),
-            train=TrainConfig(verbose=False),
-        )
-        res = fit_parallel(cfg, ds)
+        results = {}
+        for tile_dtype in ("auto", "int8"):
+            ds = _dataset()
+            cfg = Config(
+                gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                              epochs=40, early_stopping=0),
+                tpu=TPUConfig(backend="hybrid", seed=7, n_devices=4,
+                              min_tile_nnz=4, matmul_precision="highest",
+                              tile_dtype=tile_dtype),
+                train=TrainConfig(verbose=False),
+            )
+            results[tile_dtype] = fit_parallel(cfg, ds)
+        res = results["auto"]
         assert res.history[-1, 0] < res.history[0, 0]
         assert res.test_acc > 0.5
         assert np.isfinite(res.history).all()
+        np.testing.assert_allclose(
+            results["int8"].history[:, [0, 2]], res.history[:, [0, 2]],
+            rtol=1e-4, atol=1e-5,
+        )
     finally:
         pallas_bcsr._INTERPRET[0] = old
 
