@@ -42,7 +42,8 @@ GRID = {
 
 
 def time_layout(dataset: str, backend: str, reorder: str, tile: int,
-                epochs: int, reps: int, tile_cols: int = 0) -> float | None:
+                epochs: int, reps: int, tile_cols: int = 0,
+                tile_dtype: str = "auto") -> float | None:
     cfg = load_config(default_params_path(dataset))
     cfg.gcn.epochs = epochs
     cfg.gcn.early_stopping = 0
@@ -52,6 +53,7 @@ def time_layout(dataset: str, backend: str, reorder: str, tile: int,
     cfg.tpu.reorder = reorder
     cfg.tpu.tile_size = tile
     cfg.tpu.tile_cols = tile_cols
+    cfg.tpu.tile_dtype = tile_dtype
     try:
         ds, dds = prepare_device_dataset(cfg, dataset)
         model = build_model(cfg, dds)
@@ -88,6 +90,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backends", default="", help="comma filter, e.g. hybrid")
     ap.add_argument("--reorders", default="", help="comma filter, e.g. rcm")
+    ap.add_argument("--tile-dtypes", default="auto",
+                    help="comma list for tile backends, e.g. auto,int8")
     args = ap.parse_args()
     grid = dict(GRID)
     if args.backends:
@@ -97,22 +101,25 @@ def main() -> int:
 
     rows = []
     seen = set()
-    for backend, reorder, tile, mult in itertools.product(
-        grid["backend"], grid["reorder"], grid["tile_size"], grid["cols_mult"]
+    for backend, reorder, tile, mult, tdt in itertools.product(
+        grid["backend"], grid["reorder"], grid["tile_size"], grid["cols_mult"],
+        args.tile_dtypes.split(","),
     ):
         tile_cols = tile * mult
         # tile knobs only matter for tile-based backends — dedupe the rest
         tiled = backend in ("bcsr", "hybrid")
-        key = (backend, reorder, tile if tiled else 0, tile_cols if tiled else 0)
+        key = (backend, reorder, tile if tiled else 0, tile_cols if tiled else 0,
+               tdt if tiled else "auto")
         if key in seen:
             continue
         seen.add(key)
         ms = time_layout(args.dataset, backend, reorder, tile,
-                         args.epochs, args.reps, tile_cols=tile_cols)
+                         args.epochs, args.reps, tile_cols=tile_cols,
+                         tile_dtype=tdt if tiled else "auto")
         if ms is None:
             continue
         label = f"{backend}/{reorder}" + (
-            f"/t{tile}x{tile_cols}" if tiled else ""
+            f"/t{tile}x{tile_cols}/{tdt}" if tiled else ""
         )
         print(f"{args.dataset} {label:24s} epoch {ms:.4f} ms", flush=True)
         rows.append((ms, label))
