@@ -21,7 +21,9 @@ from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.models.gcn import init_params
 from parallel_gcn_tpu.optim import init_adam
-from parallel_gcn_tpu.train import build_model, make_epoch_step, preaggregate_input
+from parallel_gcn_tpu.train import (
+    _make_scan_run, build_model, make_epoch_step, preaggregate_input,
+)
 from parallel_gcn_tpu.utils.profiling import print_trace_summary, profile_fn
 
 
@@ -30,6 +32,10 @@ def main() -> int:
     ap.add_argument("dataset")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--keep-trace", default=None)
+    ap.add_argument("--mode", choices=["eager", "scan"], default="eager",
+                    help="scan profiles N fused epochs in one program "
+                         "(the bench path, incl. deferred-eval stacking)")
+    ap.add_argument("--scan-epochs", type=int, default=10)
     args = ap.parse_args()
 
     cache = os.path.join(os.path.dirname(os.path.dirname(
@@ -43,13 +49,34 @@ def main() -> int:
     model = build_model(cfg, dds)
     if cfg.tpu.input_preagg:
         model, dds = preaggregate_input(model, dds)
-    step = make_epoch_step(model, cfg, dds)
-
     key = jax.random.PRNGKey(cfg.tpu.seed)
-    w = init_params(
-        jax.random.PRNGKey(0), dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
-    )
-    opt = init_adam(w)
+
+    def fresh():
+        w = init_params(
+            jax.random.PRNGKey(0), dds.input_dim, cfg.gcn.hidden_dims,
+            dds.output_dim,
+        )
+        return w, init_adam(w)
+
+    if args.mode == "scan":
+        cfg.gcn.epochs = args.scan_epochs
+        cfg.gcn.early_stopping = 0
+        run = _make_scan_run(model, cfg, dds)
+        w, opt = fresh()
+        np.asarray(run(w, opt, key)[2])  # compile + warm
+        w, opt = fresh()
+        out, trace_dir = profile_fn(
+            lambda: run(w, opt, key), trace_dir=args.keep_trace
+        )
+        np.asarray(out[2])
+        print(f"# {args.scan_epochs}-epoch fused-run device-op profile: "
+              f"{args.dataset} (backend={model.backend}, trace: {trace_dir}) "
+              f"— divide by {args.scan_epochs} for per-epoch cost")
+        print_trace_summary(trace_dir, top=args.top)
+        return 0
+
+    step = make_epoch_step(model, cfg, dds)
+    w, opt = fresh()
     w, opt, key, m = step(w, opt, key)  # compile + warm
     np.asarray(m)
 

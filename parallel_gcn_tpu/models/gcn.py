@@ -133,8 +133,8 @@ class GCNModel:
             else:
                 h = self._dropout(h, rate, keys[layer], training)
                 h = feature_transform(
-                    h, weights[layer], precision=self.precision
-                ).astype(dtype)
+                    h, weights[layer], precision=self.precision, out_dtype=dtype
+                )
             if layer == 0 and preagg:
                 pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
             else:

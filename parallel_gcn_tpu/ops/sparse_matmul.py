@@ -21,17 +21,25 @@ import jax.numpy as jnp
 
 
 def feature_transform(
-    x: jnp.ndarray, w: jnp.ndarray, precision: str | None = "highest"
+    x: jnp.ndarray, w: jnp.ndarray, precision: str | None = "highest",
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Dense MXU path: ``X @ W`` with f32 accumulation.
 
     ``precision`` matters on TPU: f32 matmuls default to fast bf16 MXU passes;
     "highest" forces full f32 (multi-pass) for parity with the reference's fp32
     CUDA GEMM (src/module.cu:274-328). Pass None/"default" for speed.
+
+    ``out_dtype`` (default f32) sets the RESULT dtype only — the MXU still
+    accumulates in f32; emitting bf16 directly halves the activation write and
+    lets XLA fuse the consumer (a separate f32 intermediate + convert pass cost
+    ~0.7 ms/epoch on the 233K×600 reddit hidden layer).
     """
     prec = None if precision in (None, "default") else precision
     return jnp.dot(
-        x, w.astype(x.dtype), preferred_element_type=jnp.float32, precision=prec
+        x, w.astype(x.dtype),
+        preferred_element_type=jnp.dtype(out_dtype or jnp.float32),
+        precision=prec,
     )
 
 

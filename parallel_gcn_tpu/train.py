@@ -265,8 +265,8 @@ def _fused_deferred_forward(
             if training:
                 h = model._dropout(h, model.dropouts[layer], keys[layer], True)
             h = feature_transform(
-                h, weights[layer], precision=model.precision
-            ).astype(dtype)
+                h, weights[layer], precision=model.precision, out_dtype=dtype
+            )
             if not (layer == 0 and preagg):
                 h = agg(h)
             if (
@@ -289,9 +289,10 @@ def _fused_deferred_forward(
         model._dropout(ht, model.dropouts[L - 1], keys[L - 1], True),
         weights[L - 1],
         precision=model.precision,
-    ).astype(dtype)
-    ae = feature_transform(he, weights[L - 1], precision=model.precision).astype(
-        dtype
+        out_dtype=dtype,
+    )
+    ae = feature_transform(
+        he, weights[L - 1], precision=model.precision, out_dtype=dtype
     )
     n_classes = at.shape[1]
     stacked = agg(jnp.concatenate([at, ae], axis=1))
