@@ -114,6 +114,11 @@ class TPUConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
     dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
+    # masked softmax-CE implementation: auto (pallas on TPU, xla elsewhere) |
+    # xla (ops/loss.py, the golden-exact expression) | pallas (fused one-pass
+    # kernel + forward-written gradient, ops/pallas_ce.py — the analog of the
+    # reference's fused CE kernel, src/module.cu:484-524)
+    ce_impl: str = "auto"
     # fuse dropout into the following matmul (pallas path only, see
     # ops/pallas_fused.py). Measured on v5e at citation scale the Pallas
     # grid-step overhead outweighs the saved HBM passes (cora 0.196 vs
@@ -216,6 +221,7 @@ _KEYMAP = {
     "compute_dtype": ("tpu", "compute_dtype"),
     "matmul_precision": ("tpu", "matmul_precision"),
     "dropout_impl": ("tpu", "dropout_impl"),
+    "ce_impl": ("tpu", "ce_impl"),
     "fuse_dropout_matmul": ("tpu", "fuse_dropout_matmul"),
     "edge_chunk": ("tpu", "edge_chunk"),
     "dense_threshold": ("tpu", "dense_threshold"),

@@ -71,6 +71,18 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
     )
 
 
+def _ce_fn(cfg: Config):
+    """Pick the masked softmax-CE implementation (TPUConfig.ce_impl)."""
+    impl = cfg.tpu.ce_impl
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+    if impl == "pallas":
+        from parallel_gcn_tpu.ops.pallas_ce import masked_softmax_xent_fused
+
+        return masked_softmax_xent_fused
+    return masked_softmax_xent
+
+
 def preaggregate_input(
     model: GCNModel, dds: DeviceDataset
 ) -> tuple[GCNModel, DeviceDataset]:
@@ -138,12 +150,13 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
     # (exact: no dropout at eval; see preaggregate_input)
     x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
     eval_preagg = model.input_preagg or dds.x_agg is not None
+    ce_op = _ce_fn(cfg)
 
     def epoch_step(weights, opt_state, key, graph, x, x_eval, labels,
                    train_mask, val_mask):
         def ce_loss(weights, key):
             logits = model.apply(weights, x, graph, training=True, key=key)
-            loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
+            loss, acc = ce_op(logits, labels, train_mask, n_train)
             return loss, acc
 
         key, dropout_key = jax.random.split(key)
@@ -169,7 +182,7 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
         val_logits = model.apply(
             weights, x_eval, graph, training=False, input_preagg=eval_preagg
         )
-        val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
+        val_ce, val_acc = ce_op(val_logits, labels, val_mask, n_val)
         val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
 
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
@@ -192,13 +205,15 @@ def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -
     wd = cfg.adam.weight_decay
     x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
     eval_preagg = model.input_preagg or dds.x_agg is not None
+    ce_op = _ce_fn(cfg)
 
     def eval_fn(weights, graph, x, labels, mask):
-        logits = model.apply(
-            weights, x, graph, training=False, input_preagg=eval_preagg
+        ce_val, acc = ce_op(
+            model.apply(weights, x, graph, training=False,
+                        input_preagg=eval_preagg),
+            labels, mask, n,
         )
-        ce, acc = masked_softmax_xent(logits, labels, mask, n)
-        loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        loss = ce_val + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
         return loss, acc
 
     jitted = jax.jit(eval_fn)
@@ -321,12 +336,13 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     val_mask_host = jax.device_put(dds.split == VAL)
     x_eval_host = dds.x_agg if dds.x_agg is not None else dds.x
     eval_preagg = model.input_preagg or dds.x_agg is not None
+    ce_op = _ce_fn(cfg)
 
     def run(weights, opt_state, key, graph, x, x_eval, labels, train_mask,
             val_mask):
         def ce_loss(weights, key):
             logits = model.apply(weights, x, graph, training=True, key=key)
-            loss, acc = masked_softmax_xent(logits, labels, train_mask, n_train)
+            loss, acc = ce_op(logits, labels, train_mask, n_train)
             return loss, acc
 
         def one_epoch(weights, opt_state, key):
@@ -343,7 +359,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             val_logits = model.apply(
                 weights, x_eval, graph, training=False, input_preagg=eval_preagg
             )
-            val_ce, val_acc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
+            val_ce, val_acc = ce_op(val_logits, labels, val_mask, n_val)
             val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
             return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
 
@@ -371,10 +387,8 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
                         model, w, x, x_eval, graph, dkey,
                         eval_preagg=eval_preagg,
                     )
-                    loss, acc = masked_softmax_xent(
-                        lt, labels, train_mask, n_train
-                    )
-                    vce, vacc = masked_softmax_xent(
+                    loss, acc = ce_op(lt, labels, train_mask, n_train)
+                    vce, vacc = ce_op(
                         jax.lax.stop_gradient(le), labels, val_mask, n_val
                     )
                     return loss, (acc, vce, vacc)
@@ -403,7 +417,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             val_logits = model.apply(
                 weights, x_eval, graph, training=False, input_preagg=eval_preagg
             )
-            vce, vacc = masked_softmax_xent(val_logits, labels, val_mask, n_val)
+            vce, vacc = ce_op(val_logits, labels, val_mask, n_val)
             vl_fin = vce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
             val_cols = jnp.concatenate(
                 [em[1:, 2:4], jnp.stack([vl_fin, vacc])[None, :]], axis=0
