@@ -114,10 +114,12 @@ class TPUConfig:
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
     dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
-    # masked softmax-CE implementation: auto (pallas on TPU, xla elsewhere) |
-    # xla (ops/loss.py, the golden-exact expression) | pallas (fused one-pass
+    # masked softmax-CE implementation: auto (= xla — measured faster: the
+    # XLA CE fusions overlap the serial Pallas aggregation kernels) | xla
+    # (ops/loss.py, the golden-exact expression) | pallas (fused one-pass
     # kernel + forward-written gradient, ops/pallas_ce.py — the analog of the
-    # reference's fused CE kernel, src/module.cu:484-524)
+    # reference's fused CE kernel, src/module.cu:484-524; net slower at
+    # reddit scale, kept for wide-logit workloads)
     ce_impl: str = "auto"
     # fuse dropout into the following matmul (pallas path only, see
     # ops/pallas_fused.py). Measured on v5e at citation scale the Pallas

@@ -39,26 +39,33 @@ _INTERPRET = [False]
 
 
 def _ce_body(logits_ref, labels_ref, mask_ref):
+    # everything stays 2-D ([B, C] or [B, 1]) — Mosaic's 1-D vector
+    # reductions/layouts are partial ("Offset change" lowering errors)
     logits = logits_ref[:].astype(jnp.float32)  # [B, C]
-    labels = labels_ref[:][:, 0]  # [B, 1] -> [B] int32
-    maskf = mask_ref[:][:, 0].astype(jnp.float32)  # [B]
+    labels = labels_ref[:]  # [B, 1] int32
+    maskf = mask_ref[:].astype(jnp.float32)  # [B, 1]
 
     lmax = jnp.max(logits, axis=-1, keepdims=True)
     shifted = logits - lmax
     ex = jnp.exp(shifted)
-    sumexp = jnp.sum(ex, axis=-1, keepdims=True)
-    lse = jnp.log(sumexp[:, 0])
+    sumexp = jnp.sum(ex, axis=-1, keepdims=True)  # [B, 1]
+    lse = jnp.log(sumexp)  # [B, 1]
 
     c = logits.shape[-1]
     safe = jnp.clip(labels, 0, c - 1)
-    onehot = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) == safe[:, None]
-    truth = jnp.sum(jnp.where(onehot, shifted, 0.0), axis=-1)
+    onehot = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) == safe
+    truth = jnp.sum(jnp.where(onehot, shifted, 0.0), axis=-1, keepdims=True)
 
     loss_part = jnp.sum(maskf * (lse - truth))
     acc_part = jnp.sum(maskf * (truth >= 0.0).astype(jnp.float32))
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    # (8, 128) partial block — Mosaic needs sublane multiples of 8; only
+    # [0, 0] (loss) and [0, 1] (correct count) are nonzero
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
     partial_row = jnp.where(
-        lane == 0, loss_part, jnp.where(lane == 1, acc_part, 0.0)
+        (row == 0) & (lane == 0),
+        loss_part,
+        jnp.where((row == 0) & (lane == 1), acc_part, 0.0),
     )
     return partial_row, ex, sumexp, onehot, maskf
 
@@ -73,9 +80,7 @@ def _ce_kernel_train(logits_ref, labels_ref, mask_ref, part_ref, grad_ref, *,
         logits_ref, labels_ref, mask_ref
     )
     part_ref[:] = partial_row
-    grad = (ex / sumexp - onehot.astype(jnp.float32)) * (
-        maskf * inv_num
-    )[:, None]
+    grad = (ex / sumexp - onehot.astype(jnp.float32)) * (maskf * inv_num)
     grad_ref[:] = grad.astype(grad_ref.dtype)
 
 
@@ -98,8 +103,8 @@ def _ce_call(logits, labels, mask, num_samples, write_grad):
         pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((_BLOCK_ROWS, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
-    part_shape = jax.ShapeDtypeStruct((grid[0], _LANES), jnp.float32)
-    part_spec = pl.BlockSpec((1, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    part_shape = jax.ShapeDtypeStruct((grid[0] * 8, _LANES), jnp.float32)
+    part_spec = pl.BlockSpec((8, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     if not write_grad:
         parts = pl.pallas_call(

@@ -72,10 +72,16 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
 
 
 def _ce_fn(cfg: Config):
-    """Pick the masked softmax-CE implementation (TPUConfig.ce_impl)."""
+    """Pick the masked softmax-CE implementation (TPUConfig.ce_impl).
+
+    auto resolves to XLA: measured on v5e at reddit scale the fused kernel is
+    NET SLOWER (19.9 vs 19.0 ms/epoch) — the XLA CE fusions overlap with the
+    serial Pallas aggregation kernels, while extra pallas_calls serialize the
+    pipeline and force the stacked-logits slices to materialize. The kernel
+    remains available (ce_impl=pallas) for wider-logit workloads."""
     impl = cfg.tpu.ce_impl
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        impl = "xla"
     if impl == "pallas":
         from parallel_gcn_tpu.ops.pallas_ce import masked_softmax_xent_fused
 
