@@ -298,6 +298,14 @@ def build_graph(
     if dense:
         adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
         adj_np[csr.row_ids(), csr.indices] = csr.values
+        # dense-backend Â in bf16 when fast-matmul is requested: at citation
+        # scale the epoch is dominated by the 2 adjacency reads per epoch
+        # (cora: 2×29 MB of a 115 µs epoch), and default-precision matmuls
+        # round the operands to bf16 on the fly anyway — storing bf16 halves
+        # the read without changing the compute class. int8 pattern packs
+        # don't apply to the dense path (an int8 dense dot would need int8 x).
+        if np.dtype(tile_dtype) != np.float32:
+            adj_np = adj_np.astype(jnp.dtype(jnp.bfloat16))
         adj = jnp.asarray(adj_np)
 
     if bcsr:

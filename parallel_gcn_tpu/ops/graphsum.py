@@ -95,8 +95,17 @@ def _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec):
     backend, n_chunks, precision = spec
     if backend == "dense":
         prec = None if precision in (None, "default") else precision
+        out_dtype = x.dtype
+        if adj.dtype != x.dtype:
+            # never upcast a bf16-stored Â back to f32 (that would materialize
+            # the full matrix wide again) — narrow x instead; the result keeps
+            # x's original dtype
+            if jnp.dtype(adj.dtype).itemsize < jnp.dtype(x.dtype).itemsize:
+                x = x.astype(adj.dtype)
+            else:
+                adj = adj.astype(x.dtype)
         return jnp.dot(
-            adj.astype(x.dtype), x, preferred_element_type=x.dtype, precision=prec
+            adj, x, preferred_element_type=out_dtype, precision=prec
         )
     if backend == "bcsr":
         from parallel_gcn_tpu.ops.pallas_bcsr import bcsr_matmul
