@@ -27,6 +27,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "output")
 PLOTS = os.path.join(OUT, "plots")
+sys.path.insert(0, REPO)
 
 # Validated categorical palette (first three slots are all-pairs CVD-safe);
 # color follows the entity across every figure: ours=blue, ref-GPU=orange,
@@ -39,14 +40,12 @@ INK = "#0b0b0b"
 INK2 = "#52514e"
 GRID = "#e5e4e0"
 
-# Published baselines (report p.12 Table 3; BASELINE.md). synth-* stand-ins
-# are benchmarked against the corresponding real-dataset baseline.
-BASELINE_MS = {
-    "citeseer": (0.325, 7.291),
-    "cora": (0.277, 5.002),
-    "pubmed": (1.418, 49.827),
-    "reddit": (231.518, 9826.111),
-}
+def _baselines():
+    """Published GPU/CPU ms (report p.12 Table 3) — single source of truth in
+    harness/performance.py; synth-* stand-ins alias their real dataset."""
+    from harness.performance import BASELINE_CPU_MS, BASELINE_GPU_MS
+
+    return BASELINE_GPU_MS, BASELINE_CPU_MS
 
 
 def _style(ax, title):
@@ -70,7 +69,11 @@ def _save(fig, name):
 
 
 def _baseline_for(dataset):
-    return BASELINE_MS.get(dataset.replace("synth-", ""))
+    gpu, cpu = _baselines()
+    key = dataset if dataset in gpu else dataset.replace("synth-", "")
+    if key not in gpu:
+        return None
+    return gpu[key], cpu[key]
 
 
 def plot_performance():
@@ -102,9 +105,10 @@ def plot_performance():
     ax.set_xticks(x, [r["dataset"] for r in rows])
     ax.set_ylabel("mean epoch time (ms, log)", color=INK2, fontsize=9)
     # selective direct labels: speedup over the GPU baseline on our bars only
-    for xi, r in zip(x, rows):
+    # (ratio of the PLOTTED means, so the label matches the bars)
+    for xi, r, g in zip(x, rows, gpu):
         ax.annotate(
-            f'{r["vs_gpu_baseline"]:.1f}×',
+            f'{g / r["epoch_ms_mean"]:.1f}×',
             (xi - w, r["epoch_ms_mean"]),
             textcoords="offset points",
             xytext=(0, 3),
@@ -220,7 +224,15 @@ def plot_scaling():
         if line.startswith("#") or "efficiency" not in parts:
             continue
         eff = float(parts[parts.index("efficiency") + 1].rstrip("%"))
-        n = int(parts[parts.index("n=") + 1])
+        # "n= 4" splits into two tokens; "n=16" is one — handle both
+        n = None
+        for i, tok in enumerate(parts):
+            if tok == "n=":
+                n = int(parts[i + 1])
+            elif tok.startswith("n=") and tok[2:].isdigit():
+                n = int(tok[2:])
+        if n is None:
+            continue
         series.setdefault(parts[0], []).append((n, eff))
     if not series:
         print("skip scaling: empty file")

@@ -168,6 +168,8 @@ class TPUConfig:
             )
         if self.halo not in ("all_gather", "ring"):
             raise ValueError(f"halo must be all_gather|ring, got {self.halo!r}")
+        if self.ce_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"ce_impl must be auto|xla|pallas, got {self.ce_impl!r}")
         if self.tile_dtype not in ("auto", "float32", "bfloat16", "int8"):
             raise ValueError(
                 "tile_dtype must be auto|float32|bfloat16|int8, "

@@ -239,6 +239,7 @@ def build_graph(
     tile_dtype=np.float32,
     tile_size: int = 128,
     tile_cols: int = 0,
+    adj_dtype=np.float32,
 ) -> Graph:
     """Pad a host CSR into the static-shaped device Graph.
 
@@ -298,14 +299,16 @@ def build_graph(
     if dense:
         adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
         adj_np[csr.row_ids(), csr.indices] = csr.values
-        # dense-backend Â in bf16 when fast-matmul is requested: at citation
-        # scale the epoch is dominated by the 2 adjacency reads per epoch
-        # (cora: 2×29 MB of a 115 µs epoch), and default-precision matmuls
-        # round the operands to bf16 on the fly anyway — storing bf16 halves
-        # the read without changing the compute class. int8 pattern packs
-        # don't apply to the dense path (an int8 dense dot would need int8 x).
-        if np.dtype(tile_dtype) != np.float32:
-            adj_np = adj_np.astype(jnp.dtype(jnp.bfloat16))
+        # dense-backend Â in bf16 when fast-matmul is requested
+        # (adj_dtype follows matmul_precision, NOT tile_dtype — an explicit
+        # int8/bf16 tile pack under precision=highest must not silently
+        # degrade the dense path): at citation scale the epoch is dominated
+        # by the 2 adjacency reads per epoch (cora: 2×29 MB of a 115 µs
+        # epoch), and default-precision matmuls round the operands to bf16 on
+        # the fly anyway — storing bf16 halves the read without changing the
+        # compute class.
+        if np.dtype(adj_dtype) != np.float32:
+            adj_np = adj_np.astype(jnp.dtype(adj_dtype))
         adj = jnp.asarray(adj_np)
 
     if bcsr:

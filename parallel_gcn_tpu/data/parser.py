@@ -239,6 +239,7 @@ def to_device(
     tile_cols: int = 0,
     tile_budget_mb: int = 3072,
     min_tile_nnz: int = 0,
+    adj_dtype="float32",
 ) -> DeviceDataset:
     import jax.numpy as jnp
 
@@ -248,7 +249,7 @@ def to_device(
     graph = build_graph(
         ds.graph, node_pad=node_pad, dense=dense, bcsr=bcsr, hybrid=hybrid,
         n_nodes_pad=n_pad, tile_dtype=np.dtype(tile_dtype), tile_size=tile_size,
-        tile_cols=tile_cols,
+        tile_cols=tile_cols, adj_dtype=jnp.dtype(adj_dtype),
         tile_budget_bytes=tile_budget_mb * 1024 * 1024,
         min_tile_nnz=min_tile_nnz or None,
     )
@@ -325,6 +326,9 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         bcsr=backend == "bcsr",
         hybrid=backend == "hybrid",
         tile_dtype=tile_dtype,
+        adj_dtype=(
+            "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+        ),
         tile_size=cfg.tpu.tile_size,
         tile_cols=cfg.tpu.tile_cols,
         tile_budget_mb=cfg.tpu.tile_budget_mb,

@@ -82,6 +82,31 @@ class GCNModel:
             return dropout_pallas(h, key_to_seed(key), rate)
         return dropout(h, rate, key, training=training)
 
+    def layer_pre(self, h, layer, weights, key, training):
+        """Layer ``layer``'s pre-aggregation half: dropout → feature transform
+        (with the optional fused dropout⊗matmul kernel). Shared by ``apply``
+        and the deferred-eval fused path (train._fused_deferred_forward) so
+        the per-layer semantics have one source of truth."""
+        dtype = jnp.dtype(self.compute_dtype)
+        rate = self.dropouts[layer]
+        if (
+            training
+            and rate > 0.0
+            and self.fuse_dropout_matmul
+            and self.dropout_impl == "pallas"
+        ):
+            from parallel_gcn_tpu.ops.pallas_dropout import key_to_seed
+            from parallel_gcn_tpu.ops.pallas_fused import dropout_matmul
+
+            return dropout_matmul(
+                h, weights[layer].astype(dtype), key_to_seed(key),
+                rate, self.precision == "highest",
+            ).astype(dtype)
+        h = self._dropout(h, rate, key, training)
+        return feature_transform(
+            h, weights[layer], precision=self.precision, out_dtype=dtype
+        )
+
     def apply(
         self,
         weights: list[jnp.ndarray],
@@ -116,25 +141,7 @@ class GCNModel:
             )
         prev = None
         for layer in range(self.n_layers):
-            rate = self.dropouts[layer]
-            if (
-                training
-                and rate > 0.0
-                and self.fuse_dropout_matmul
-                and self.dropout_impl == "pallas"
-            ):
-                from parallel_gcn_tpu.ops.pallas_dropout import key_to_seed
-                from parallel_gcn_tpu.ops.pallas_fused import dropout_matmul
-
-                h = dropout_matmul(
-                    h, weights[layer].astype(dtype), key_to_seed(keys[layer]),
-                    rate, self.precision == "highest",
-                ).astype(dtype)
-            else:
-                h = self._dropout(h, rate, keys[layer], training)
-                h = feature_transform(
-                    h, weights[layer], precision=self.precision, out_dtype=dtype
-                )
+            h = self.layer_pre(h, layer, weights, keys[layer], training)
             if layer == 0 and preagg:
                 pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
             else:

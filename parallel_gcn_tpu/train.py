@@ -257,10 +257,9 @@ def _fused_deferred_forward(
     prefix dropout is 0 (the tuned pubmed/reddit configs) — eval's prefix is
     then bitwise the train prefix. Returns (train_logits, eval_logits), f32.
     """
-    from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
-
     dtype = jnp.dtype(model.compute_dtype)
     L = model.n_layers
+    assert L >= 2, "deferred-eval fusion needs the last layer's aggregation"
     if any(d > 0 for d in model.dropouts):
         keys = list(jax.random.split(dkey, L))
     else:
@@ -279,15 +278,10 @@ def _fused_deferred_forward(
         )
 
     def prefix(h, training, preagg):
-        # layers 0..L-2 of GCNModel.apply (dropout → transform → aggregate
-        # [+residual] → relu); keys index by layer like apply does
+        # layers 0..L-2 of GCNModel.apply, via the shared per-layer core
         prev = None
         for layer in range(L - 1):
-            if training:
-                h = model._dropout(h, model.dropouts[layer], keys[layer], True)
-            h = feature_transform(
-                h, weights[layer], precision=model.precision, out_dtype=dtype
-            )
+            h = model.layer_pre(h, layer, weights, keys[layer], training)
             if not (layer == 0 and preagg):
                 h = agg(h)
             if (
@@ -306,15 +300,8 @@ def _fused_deferred_forward(
     ht = prefix(x_train.astype(dtype), True, train_preagg)
     he = ht if share else prefix(x_eval.astype(dtype), False, eval_preagg)
 
-    at = feature_transform(
-        model._dropout(ht, model.dropouts[L - 1], keys[L - 1], True),
-        weights[L - 1],
-        precision=model.precision,
-        out_dtype=dtype,
-    )
-    ae = feature_transform(
-        he, weights[L - 1], precision=model.precision, out_dtype=dtype
-    )
+    at = model.layer_pre(ht, L - 1, weights, keys[L - 1], True)
+    ae = model.layer_pre(he, L - 1, weights, None, False)
     n_classes = at.shape[1]
     stacked = agg(jnp.concatenate([at, ae], axis=1))
     return (
@@ -372,12 +359,9 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
         # deferred-eval fusion applies when the epoch schedule is static (no
         # early stopping — the stopping rule needs epoch e's val loss BEFORE
         # deciding to run e+1, but the deferred schedule produces it during
-        # e+1). The fused-dropout kernel path keeps apply()'s own fusion.
-        fused_eval = k == 0 and epochs > 0 and not (
-            model.fuse_dropout_matmul
-            and model.dropout_impl == "pallas"
-            and any(d > 0 for d in model.dropouts)
-        )
+        # e+1) and the model has a last-layer aggregation to stack (a 1-layer
+        # model with input_preagg aggregates nowhere).
+        fused_eval = k == 0 and epochs > 0 and model.n_layers >= 2
         if fused_eval:
             # epoch e's body computes the train step AND epoch e-1's val
             # forward in one stacked last aggregation (see

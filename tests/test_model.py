@@ -353,3 +353,14 @@ def test_fused_deferred_eval_matches_eager(kw):
     r_eager = _fit_synthetic("eager", epochs=25, **kw)
     np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(r_scan.test_acc, r_eager.test_acc, atol=1e-6)
+
+
+def test_one_layer_preagg_scan_matches_eager():
+    """A 1-layer model with input_preagg has NO aggregation left in the loop;
+    the deferred-eval fusion must not apply (it would aggregate Â²XW0) and
+    the scan path must still match eager exactly."""
+    kw = dict(n_layers=1, hidden_dims=(), dropouts=(0.0,))
+    r_scan = _fit_synthetic("scan", epochs=15, **kw)
+    r_eager = _fit_synthetic("eager", epochs=15, **kw)
+    np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(r_scan.test_acc, r_eager.test_acc, atol=1e-6)
