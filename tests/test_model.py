@@ -364,3 +364,13 @@ def test_one_layer_preagg_scan_matches_eager():
     r_eager = _fit_synthetic("eager", epochs=15, **kw)
     np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(r_scan.test_acc, r_eager.test_acc, atol=1e-6)
+
+
+def test_fused_deferred_eval_single_epoch():
+    """epochs=1: the scan emits one row whose val metrics come entirely from
+    the post-scan standalone eval (the in-body deferred eval evaluated the
+    init weights and is dropped)."""
+    r_scan = _fit_synthetic("scan", epochs=1)
+    r_eager = _fit_synthetic("eager", epochs=1)
+    assert r_scan.history.shape == (1, 4)
+    np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
