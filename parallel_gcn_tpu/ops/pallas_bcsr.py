@@ -125,12 +125,14 @@ def build_bcsr(
     covered = np.unique(uniq // n_tile_cols)
     missing = np.setdiff1d(np.arange(n_pad // tile_r, dtype=np.int64), covered)
     T = len(uniq)
-    tiles = np.zeros((T + len(missing), tile_r, tile_c), dtype=np.float32)
-    tiles[inverse, rows % tile_r, cols % tile_c] = vals
-    if binary:
-        tiles = tiles.astype(np.int8)
-    elif dtype != np.float32:
-        tiles = tiles.astype(jnp.dtype(dtype))
+    # allocate the FINAL dtype and scatter converted values directly — a
+    # float32 intermediate for a reddit-scale pack is a 4.8 GB alloc+convert
+    # (int8 packs: 4× the bytes of the result)
+    out_dtype = np.int8 if binary else jnp.dtype(dtype)
+    tiles = np.zeros((T + len(missing), tile_r, tile_c), dtype=out_dtype)
+    tiles[inverse, rows % tile_r, cols % tile_c] = (
+        np.ones(len(vals), np.int8) if binary else vals.astype(out_dtype)
+    )
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     tile_cols = np.concatenate(
         [uniq % n_tile_cols, np.zeros(len(missing), np.int64)]
