@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <algorithm>
 #include <string>
 #include <vector>
 
@@ -202,5 +203,57 @@ const int32_t *pgcn_labels(const PgcnDataset *ds) { return ds->labels.data(); }
 const int32_t *pgcn_split(const PgcnDataset *ds) { return ds->split.data(); }
 
 void pgcn_free(PgcnDataset *ds) { delete ds; }
+
+// ---- label propagation (community reorder, data/reorder.py community_order)
+//
+// Synchronous sweeps: every node adopts the most frequent label among its
+// neighbors (ties toward the LARGER label id — matching the NumPy
+// lexsort-by-(count,label) reference implementation); rows with no edges keep
+// their label. ``rows`` must be sorted ascending (a CSR row expansion).
+// The NumPy version pays an O(E log E) full-array sort per sweep (~2 s/sweep
+// at reddit scale); here each row's small neighbor-label span sorts
+// independently, parallelized over row spans.
+void pgcn_community_labels(const int64_t *rows, const int64_t *cols,
+                           int64_t nnz, int64_t n, int n_iters,
+                           int64_t *labels) {
+    if (nnz <= 0 || n <= 0) return;
+    std::vector<int64_t> cur(labels, labels + n), nxt(n);
+    // row-span starts (rows sorted): spans[k] .. spans[k+1] share one row
+    std::vector<int64_t> starts;
+    starts.reserve(1 << 20);
+    starts.push_back(0);
+    for (int64_t i = 1; i < nnz; ++i)
+        if (rows[i] != rows[i - 1]) starts.push_back(i);
+    starts.push_back(nnz);
+    const int64_t n_spans = static_cast<int64_t>(starts.size()) - 1;
+
+    for (int it = 0; it < n_iters; ++it) {
+        nxt = cur;
+#pragma omp parallel
+        {
+            std::vector<int64_t> tmp;
+#pragma omp for schedule(dynamic, 1024)
+            for (int64_t sidx = 0; sidx < n_spans; ++sidx) {
+                const int64_t i = starts[sidx], j = starts[sidx + 1];
+                tmp.clear();
+                for (int64_t k = i; k < j; ++k) tmp.push_back(cur[cols[k]]);
+                std::sort(tmp.begin(), tmp.end());
+                int64_t best_lab = tmp[0], best_cnt = 0;
+                for (size_t k = 0; k < tmp.size();) {
+                    const int64_t lab = tmp[k];
+                    int64_t c = 0;
+                    while (k < tmp.size() && tmp[k] == lab) { ++k; ++c; }
+                    if (c > best_cnt || (c == best_cnt && lab > best_lab)) {
+                        best_cnt = c;
+                        best_lab = lab;
+                    }
+                }
+                nxt[rows[i]] = best_lab;
+            }
+        }
+        cur.swap(nxt);
+    }
+    std::copy(cur.begin(), cur.end(), labels);
+}
 
 }  // extern "C"

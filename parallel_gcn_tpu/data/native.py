@@ -30,7 +30,8 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-o", _SO_PATH, src],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-fopenmp", "-shared",
+             "-o", _SO_PATH, src],
             check=True,
             capture_output=True,
             timeout=120,
@@ -50,6 +51,13 @@ def _get_lib():
         _build_failed = True
         raise RuntimeError("native loader unavailable")
     lib = ctypes.CDLL(_SO_PATH)
+    if not hasattr(lib, "pgcn_community_labels"):
+        # stale library from an older source revision — rebuild once
+        del lib
+        if not _build():
+            _build_failed = True
+            raise RuntimeError("native loader rebuild failed")
+        lib = ctypes.CDLL(_SO_PATH)
 
     lib.pgcn_load.restype = ctypes.c_void_p
     lib.pgcn_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
@@ -124,3 +132,35 @@ def load_dataset_native(directory: str, name: str, binarize: bool):
         return graph, features, labels, split, int(input_dim), int(output_dim)
     finally:
         lib.pgcn_free(handle)
+
+
+def community_labels_native(
+    rows: np.ndarray, cols: np.ndarray, n: int, n_iters: int
+) -> np.ndarray:
+    """Native label-propagation sweeps (csrc/loader.cpp pgcn_community_labels).
+
+    ``rows`` must be sorted ascending. Returns the final labels (init: iota).
+    Raises on any unavailability; callers fall back to the NumPy loop."""
+    lib = _get_lib()
+    fn = lib.pgcn_community_labels
+    fn.restype = None
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    rows64 = np.ascontiguousarray(rows, dtype=np.int64)
+    cols64 = np.ascontiguousarray(cols, dtype=np.int64)
+    labels = np.arange(n, dtype=np.int64)
+    fn(
+        rows64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cols64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(rows64)),
+        ctypes.c_int64(n),
+        ctypes.c_int(n_iters),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return labels

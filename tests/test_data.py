@@ -140,3 +140,28 @@ def test_local_clustering_coefficient():
     c = local_clustering_coefficient(csr)
     # node 0: neighbors {1,2,3}, links among them = (1,2),(2,1) -> 2/(3*2)
     np.testing.assert_allclose(c, [2 / 6, 1.0, 1.0, 0.0], rtol=1e-6)
+
+
+def test_native_label_propagation_matches_numpy():
+    """csrc/loader.cpp pgcn_community_labels vs the NumPy spec — identical
+    labels (including the ties-toward-larger-label rule and isolated rows)."""
+    try:
+        from parallel_gcn_tpu.data.native import community_labels_native
+    except Exception:
+        pytest.skip("native lib unavailable")
+    from parallel_gcn_tpu.data.graph import random_graph
+    from parallel_gcn_tpu.data.reorder import _propagate_labels_numpy
+
+    csr, _ = random_graph(400, 5, seed=9)
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    # drop some edges so a few rows have no surviving edges (keep row-sorted)
+    keep = (rows * 131 + cols * 17) % 7 != 0
+    rows, cols = rows[keep], cols[keep]
+    for iters in (1, 4, 8):
+        try:
+            native = community_labels_native(rows, cols, 400, iters)
+        except Exception:
+            pytest.skip("native lib unavailable")
+        ref = _propagate_labels_numpy(rows, cols, 400, iters)
+        np.testing.assert_array_equal(native, ref)
