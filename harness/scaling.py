@@ -56,8 +56,27 @@ from parallel_gcn_tpu.parallel.train_parallel import (
 
 
 def bench_mesh(ds, cfg, n_dev: int, halo: str, epochs: int) -> float:
-    part = partition_graph_ring if halo == "ring" else partition_graph
-    sgraph = part(ds.graph, n_dev, node_pad=cfg.tpu.node_pad)
+    import dataclasses as _dc
+
+    if halo == "hybrid":
+        # tile-accelerated slabs (all_gather halo); interpret-mode Pallas on
+        # a CPU mesh, real kernels on TPU
+        import numpy as _np
+
+        from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+
+        cfg = _dc.replace(cfg, tpu=_dc.replace(cfg.tpu, backend="hybrid"))
+        sgraph = partition_graph_hybrid(
+            ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
+            tile_r=cfg.tpu.tile_size, tile_c=cfg.tpu.tile_cols,
+            tile_dtype=_np.dtype(
+                "int8" if cfg.tpu.tile_dtype == "int8" else "float32"
+            ),
+            min_tile_nnz=cfg.tpu.min_tile_nnz or None,
+        )
+    else:
+        part = partition_graph_ring if halo == "ring" else partition_graph
+        sgraph = part(ds.graph, n_dev, node_pad=cfg.tpu.node_pad)
     mesh = make_mesh(n_dev)
     x, labels, split = shard_dataset(ds, sgraph)
     inputs = device_put_sharded_inputs(mesh, sgraph, x, labels, split)
@@ -113,7 +132,20 @@ def main() -> int:
 
     os.makedirs("output", exist_ok=True)
     lines = [f"# {args.dataset} on {platform}, {args.epochs} epochs/point"]
-    for halo in ("all_gather", "ring"):
+    halos = ["all_gather", "ring"]
+    if jax.default_backend() == "cpu":
+        from parallel_gcn_tpu.ops import pallas_bcsr
+
+        pallas_bcsr._INTERPRET[0] = True
+        # interpret-mode Pallas emulates every grid step in Python — fine for
+        # the tiny dryrun/test graphs, hours at benchmark scale. Hybrid slabs
+        # are covered functionally by tests/test_parallel.py; measure them on
+        # a real slice.
+        print("NOTE: skipping hybrid slabs on the CPU mesh (interpret-mode "
+              "Pallas is not benchmarkable)", file=sys.stderr)
+    else:
+        halos.append("hybrid")
+    for halo in halos:
         base = None
         for n in sizes:
             ms = bench_mesh(ds, cfg, n, halo, args.epochs)
