@@ -176,39 +176,51 @@ def plot_accuracy():
     import matplotlib.pyplot as plt
     import numpy as np
 
-    src = os.path.join(OUT, "tuning_tpu.txt")
-    if not os.path.exists(src):
-        print(f"skip accuracy: {src} missing")
-        return
-    rows = []
-    for line in open(src):
-        parts = line.split()
-        if len(parts) >= 4:
-            rows.append((float(parts[0]), float(parts[1]), " ".join(parts[3:])))
-    if not rows:
-        print("skip accuracy: empty file")
-        return
-    rows = sorted(rows, reverse=True)[:15][::-1]
-    y = np.arange(len(rows))
-    fig, ax = plt.subplots(figsize=(7, 0.42 * len(rows) + 1.2))
-    ax.errorbar(
-        [r[0] for r in rows],
-        y,
-        xerr=[r[1] for r in rows],
-        fmt="o",
-        markersize=6,
-        color=C_OURS,
-        ecolor=INK2,
-        elinewidth=1.2,
-        capsize=3,
+    sources = sorted(
+        f for f in os.listdir(OUT)
+        if (f.startswith("tuning_") and f.endswith(".txt")
+            and not f.startswith("tuning_layout"))
     )
-    ax.set_yticks(y, [r[2] for r in rows], fontsize=8)
-    ax.set_xlabel("validation accuracy, mean ± sd over seeds (%)", color=INK2, fontsize=9)
-    ax.xaxis.grid(True, color=GRID, linewidth=0.6)
-    _style(ax, "Hyperparameter sweep — top configurations (20-seed statistics)")
-    ax.yaxis.grid(False)
-    _save(fig, "tuning_accuracy.svg")
-    plt.close(fig)
+    if not sources:
+        print("skip accuracy: no tuning_<dataset>.txt")
+        return
+    for fname in sources:
+        dataset = fname[len("tuning_"):-len(".txt")]
+        if dataset == "tpu":
+            dataset = "cora"  # legacy single-file name
+        rows = []
+        for line in open(os.path.join(OUT, fname)):
+            parts = line.split()
+            if len(parts) >= 4:
+                rows.append((float(parts[0]), float(parts[1]), " ".join(parts[3:])))
+        if not rows:
+            continue
+        rows = sorted(rows, reverse=True)[:15][::-1]
+        y = np.arange(len(rows))
+        fig, ax = plt.subplots(figsize=(7, 0.42 * len(rows) + 1.2))
+        ax.errorbar(
+            [r[0] for r in rows],
+            y,
+            xerr=[r[1] for r in rows],
+            fmt="o",
+            markersize=6,
+            color=C_OURS,
+            ecolor=INK2,
+            elinewidth=1.2,
+            capsize=3,
+        )
+        ax.set_yticks(y, [r[2] for r in rows], fontsize=8)
+        ax.set_xlabel(
+            "validation accuracy, mean ± sd over seeds (%)", color=INK2, fontsize=9
+        )
+        ax.xaxis.grid(True, color=GRID, linewidth=0.6)
+        _style(
+            ax,
+            f"Hyperparameter sweep — {dataset} top configurations (seed statistics)",
+        )
+        ax.yaxis.grid(False)
+        _save(fig, f"tuning_accuracy_{dataset}.svg")
+        plt.close(fig)
 
 
 def plot_scaling():

@@ -4,7 +4,8 @@ weight decay, each config scored as mean val accuracy over N seeds (seeds run
 in parallel on-device via vmap, see harness/accuracy.py).
 
 The reference's coarse grid (:56-60) and refined -DSECOND grid (:63-83) become
-runtime presets. Results go to output/tuning_tpu.txt sorted by mean val acc
+runtime presets. Results go to output/tuning_<dataset>.txt sorted by mean
+val acc
 (the job of script/ordering.py in the reference).
 
 Usage:
@@ -132,7 +133,7 @@ def main() -> int:
 
     results = sweep(args.dataset, args.preset, args.seeds, args.epochs)
     os.makedirs("output", exist_ok=True)
-    with open("output/tuning_tpu.txt", "w") as f:
+    with open(f"output/tuning_{args.dataset}.txt", "w") as f:
         for r in results:
             f.write(
                 f"{r['val_mean']:.3f} {r['val_sd']:.3f} {r['val_max']:.3f} "
