@@ -53,5 +53,5 @@ native:
 	$(MAKE) -C csrc
 
 clean:
-	rm -rf output .pytest_cache parallel_gcn_tpu/data/_native.so
+	rm -rf output .pytest_cache parallel_gcn_tpu/data/_native*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -126,6 +126,9 @@ def plot_layout():
     import matplotlib.pyplot as plt
     import numpy as np
 
+    if not os.path.isdir(OUT):
+        print("skip layout: no output/ directory")
+        return
     sources = sorted(
         f for f in os.listdir(OUT) if f.startswith("tuning_layout") and f.endswith(".txt")
     )
@@ -176,11 +179,17 @@ def plot_accuracy():
     import matplotlib.pyplot as plt
     import numpy as np
 
+    if not os.path.isdir(OUT):
+        print("skip accuracy: no output/ directory")
+        return
     sources = sorted(
         f for f in os.listdir(OUT)
         if (f.startswith("tuning_") and f.endswith(".txt")
             and not f.startswith("tuning_layout"))
     )
+    if "tuning_tpu.txt" in sources and "tuning_cora.txt" in sources:
+        # legacy single-file name aliased cora; a fresh per-dataset file wins
+        sources.remove("tuning_tpu.txt")
     if not sources:
         print("skip accuracy: no tuning_<dataset>.txt")
         return

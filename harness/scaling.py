@@ -59,19 +59,24 @@ def bench_mesh(ds, cfg, n_dev: int, halo: str, epochs: int) -> float:
     import dataclasses as _dc
 
     if halo == "hybrid":
-        # tile-accelerated slabs (all_gather halo); interpret-mode Pallas on
-        # a CPU mesh, real kernels on TPU
+        # tile-accelerated slabs (all_gather halo) — resolve tile dtype and
+        # budget exactly like fit_parallel so the measured configuration is
+        # the one the trainer runs
         import numpy as _np
 
         from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
 
         cfg = _dc.replace(cfg, tpu=_dc.replace(cfg.tpu, backend="hybrid"))
+        tile_dtype = cfg.tpu.tile_dtype
+        if tile_dtype == "auto":
+            tile_dtype = (
+                "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+            )
         sgraph = partition_graph_hybrid(
             ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
             tile_r=cfg.tpu.tile_size, tile_c=cfg.tpu.tile_cols,
-            tile_dtype=_np.dtype(
-                "int8" if cfg.tpu.tile_dtype == "int8" else "float32"
-            ),
+            tile_dtype=_np.dtype(tile_dtype),
+            tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
             min_tile_nnz=cfg.tpu.min_tile_nnz or None,
         )
     else:
@@ -134,9 +139,6 @@ def main() -> int:
     lines = [f"# {args.dataset} on {platform}, {args.epochs} epochs/point"]
     halos = ["all_gather", "ring"]
     if jax.default_backend() == "cpu":
-        from parallel_gcn_tpu.ops import pallas_bcsr
-
-        pallas_bcsr._INTERPRET[0] = True
         # interpret-mode Pallas emulates every grid step in Python — fine for
         # the tiny dryrun/test graphs, hours at benchmark scale. Hybrid slabs
         # are covered functionally by tests/test_parallel.py; measure them on

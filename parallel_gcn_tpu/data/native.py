@@ -17,7 +17,12 @@ import numpy as np
 from parallel_gcn_tpu.data.graph import HostCSR
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_HERE, "_native.so")
+# ABI-versioned filename: bump when csrc/loader.cpp's C interface changes.
+# A rebuild over a dlopen'd path is a no-op (ctypes never dlcloses — the old
+# link map wins) and can corrupt the mapped library; a new name sidesteps
+# both. Stale _native*.so files from older revisions are simply ignored.
+_ABI_VERSION = 2
+_SO_PATH = os.path.join(_HERE, f"_native_v{_ABI_VERSION}.so")
 _CSRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc"))
 
 _lib = None
@@ -51,13 +56,6 @@ def _get_lib():
         _build_failed = True
         raise RuntimeError("native loader unavailable")
     lib = ctypes.CDLL(_SO_PATH)
-    if not hasattr(lib, "pgcn_community_labels"):
-        # stale library from an older source revision — rebuild once
-        del lib
-        if not _build():
-            _build_failed = True
-            raise RuntimeError("native loader rebuild failed")
-        lib = ctypes.CDLL(_SO_PATH)
 
     lib.pgcn_load.restype = ctypes.c_void_p
     lib.pgcn_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]

@@ -113,8 +113,6 @@ def build_bcsr(
     n_pad = ((n_nodes + tile_c - 1) // tile_c) * tile_c
     live = vals != 0
     rows, cols, vals = rows[live], cols[live], vals[live]
-    if binary:
-        vals = np.ones_like(vals)
     trow = rows // tile_r
     tcol = cols // tile_c
     n_tile_cols = n_pad // tile_c

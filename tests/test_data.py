@@ -161,7 +161,7 @@ def test_native_label_propagation_matches_numpy():
     for iters in (1, 4, 8):
         try:
             native = community_labels_native(rows, cols, 400, iters)
-        except Exception:
-            pytest.skip("native lib unavailable")
+        except RuntimeError:  # _get_lib build/load unavailability only —
+            pytest.skip("native lib unavailable")  # real failures must FAIL
         ref = _propagate_labels_numpy(rows, cols, 400, iters)
         np.testing.assert_array_equal(native, ref)
