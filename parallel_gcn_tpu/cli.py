@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     dataset = argv[0]
     overrides = {}
     params_file = None
+    resume_from = None
     for arg in argv[1:]:
         if "=" not in arg:
             print(f"ignoring malformed argument {arg!r} (expected key=value)")
@@ -50,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
         key, val = arg.split("=", 1)
         if key == "file":
             params_file = val
+        elif key == "resume_from":
+            resume_from = val
         else:
             overrides[key] = (
                 [_parse_scalar(v) for v in val.split(",")] if "," in val
@@ -79,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
         print(f"multi-chip: {cfg.tpu.n_devices} devices, halo={cfg.tpu.halo}")
         result = fit_parallel(cfg, ds)
     else:
-        result = fit(cfg, dds)
+        result = fit(cfg, dds, resume_from=resume_from)
     print(
         f"epochs_run={result.epochs_run} "
         f"avg_epoch_time={result.avg_epoch_time_s * 1e3:.3f} ms"

@@ -233,6 +233,8 @@ _KEYMAP = {
     "data_dir": ("data", "data_dir"),
     "verbose": ("train", "verbose"),
     "mode": ("train", "mode"),
+    "checkpoint_dir": ("train", "checkpoint_dir"),
+    "checkpoint_every": ("train", "checkpoint_every"),
 }
 
 

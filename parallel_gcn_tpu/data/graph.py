@@ -254,7 +254,8 @@ def build_graph(
         node_pad = max(node_pad, tile_cols)
     n_pad = n_nodes_pad or pad_to_multiple(max(csr.n_rows, 1), node_pad)
 
-    rows_np = csr.row_ids()
+    all_rows = csr.row_ids()  # O(nnz) expansion — computed once, reused below
+    rows_np = all_rows
     cols_np = csr.indices
     vals_np = csr.values
 
@@ -298,7 +299,7 @@ def build_graph(
     adj = None
     if dense:
         adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
-        adj_np[csr.row_ids(), csr.indices] = csr.values
+        adj_np[all_rows, csr.indices] = csr.values
         # dense-backend Â in bf16 when fast-matmul is requested
         # (adj_dtype follows matmul_precision, NOT tile_dtype — an explicit
         # int8/bf16 tile pack under precision=highest must not silently
@@ -315,7 +316,7 @@ def build_graph(
         from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
 
         bcsr_pack = build_bcsr(
-            csr.row_ids(), csr.indices, csr.values, n_pad,
+            all_rows, csr.indices, csr.values, n_pad,
             dtype=tile_dtype, tile=tile_size, tile_c=tile_cols,
             sym_scale=sym_scale,
         )

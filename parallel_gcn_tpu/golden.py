@@ -49,7 +49,7 @@ def golden_forward(
     """Forward pass; returns (logits, intermediates for backward)."""
     L = len(weights)
     h = x.astype(np.float32)
-    saved = {"inputs": [], "pre_relu": [], "relu_mask": [], "prev": []}
+    saved = {"inputs": [], "pre_relu": [], "relu_mask": [], "res_applied": []}
     prev = None
     for layer in range(L):
         if dropout_masks is not None and dropout_masks[layer] is not None:
@@ -57,8 +57,18 @@ def golden_forward(
         saved["inputs"].append(h)
         h = h @ weights[layer]
         h = csr_matvec_dense(graph, h)
-        if residual and layer > 0 and prev is not None and prev.shape == h.shape:
+        # INNER layers only, like GCNModel.apply and the reference's
+        # ResidualConnection placement (src/gcn.cu:85-112: never the output
+        # layer, src/module.cu:566-593)
+        res = (
+            residual
+            and 0 < layer < L - 1
+            and prev is not None
+            and prev.shape == h.shape
+        )
+        if res:
             h = h + prev
+        saved["res_applied"].append(bool(res))
         saved["pre_relu"].append(h)
         if layer < L - 1:
             mask = h > 0
@@ -103,11 +113,14 @@ def golden_grads(
     mask: np.ndarray,
     dropout_masks: list[np.ndarray] | None = None,
     keep_probs: list[float] | None = None,
+    residual: bool = False,
 ):
     """Full hand-written backward producing dCE/dW per layer (no L2 term —
     the reference folds L2 into Adam, src/optim.cu:50-51)."""
     L = len(weights)
-    logits, saved = golden_forward(weights, x, graph, dropout_masks, keep_probs)
+    logits, saved = golden_forward(
+        weights, x, graph, dropout_masks, keep_probs, residual=residual
+    )
 
     num_samples = int(mask.sum())
     lmax = logits.max(axis=1, keepdims=True)
@@ -119,9 +132,17 @@ def golden_grads(
     g = (mask[:, None] * (prob - onehot) / num_samples).astype(np.float32)
 
     grads = [None] * L
+    res_cot = None  # residual cotangent flowing to the previous layer's output
     for layer in reversed(range(L)):
         if layer < L - 1:
+            if res_cot is not None:
+                # layer+1's residual read this layer's post-relu output
+                g = g + res_cot
+                res_cot = None
             g = np.where(saved["relu_mask"][layer], g, 0.0).astype(np.float32)
+        # g is now the cotangent at the residual-add point (pre-relu)
+        if saved["res_applied"][layer]:
+            res_cot = g
         g = csr_matvec_dense(graph, g)  # Âᵀ=Â (symmetric)
         a_in = saved["inputs"][layer]
         grads[layer] = (a_in.T @ g).astype(np.float32)

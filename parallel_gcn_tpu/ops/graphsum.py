@@ -186,6 +186,11 @@ def graphsum(
         raise ValueError("dense backend requested but graph was built without adj")
     if resolved == "bcsr" and graph.bcsr is None:
         raise ValueError("bcsr backend requested but graph was built without bcsr")
+    if resolved == "hybrid" and graph.bcsr is None:
+        raise ValueError(
+            "hybrid backend requested but graph was built without tiles "
+            "(build with hybrid=True / backend=hybrid)"
+        )
     n_chunks = (
         _pick_n_chunks(graph.n_edges_pad, x.shape[-1], edge_chunk)
         if resolved in ("segment", "hybrid")

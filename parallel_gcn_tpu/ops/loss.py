@@ -17,18 +17,14 @@ import jax
 import jax.numpy as jnp
 
 
-def masked_softmax_xent(
+def masked_softmax_xent_sums(
     logits: jnp.ndarray,  # [N, C] float
     labels: jnp.ndarray,  # [N] int32, -1 (or anything) on unlabeled rows
     mask: jnp.ndarray,  # [N] bool — nodes of the current split
-    num_samples: jnp.ndarray | int,  # scalar: size of the split
 ):
-    """Returns (mean_ce_loss, accuracy) over the masked nodes.
-
-    ``num_samples`` is passed separately (rather than ``mask.sum()``) to mirror
-    the reference's per-split sample counts (src/module.cu:552-562) and to keep
-    it a compile-time-friendly scalar under jit.
-    """
+    """Local (loss_sum, correct_count) over the masked rows — the shared core
+    of the single-chip CE and the multi-chip psum'd CE (one source of truth
+    for the numerically-sensitive expression)."""
     logits = logits.astype(jnp.float32)
     lmax = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     shifted = logits - lmax
@@ -43,14 +39,28 @@ def masked_softmax_xent(
     truth = jnp.sum(jnp.where(onehot, shifted, 0.0), axis=-1)
 
     maskf = mask.astype(jnp.float32)
-    denom = jnp.asarray(num_samples, dtype=jnp.float32)
-    loss = jnp.sum(maskf * (lse - truth)) / denom
-
+    loss_sum = jnp.sum(maskf * (lse - truth))
     # accuracy trick: after max-subtraction the truth logit is >= 0 iff it is
     # the row max (src/gcn.cu:271-278 counts truth_logit < 0 as wrong).
     correct = jnp.sum(maskf * (jax.lax.stop_gradient(truth) >= 0.0))
-    acc = correct / denom
-    return loss, acc
+    return loss_sum, correct
+
+
+def masked_softmax_xent(
+    logits: jnp.ndarray,  # [N, C] float
+    labels: jnp.ndarray,  # [N] int32, -1 (or anything) on unlabeled rows
+    mask: jnp.ndarray,  # [N] bool — nodes of the current split
+    num_samples: jnp.ndarray | int,  # scalar: size of the split
+):
+    """Returns (mean_ce_loss, accuracy) over the masked nodes.
+
+    ``num_samples`` is passed separately (rather than ``mask.sum()``) to mirror
+    the reference's per-split sample counts (src/module.cu:552-562) and to keep
+    it a compile-time-friendly scalar under jit.
+    """
+    loss_sum, correct = masked_softmax_xent_sums(logits, labels, mask)
+    denom = jnp.asarray(num_samples, dtype=jnp.float32)
+    return loss_sum / denom, correct / denom
 
 
 def l2_penalty(w: jnp.ndarray) -> jnp.ndarray:

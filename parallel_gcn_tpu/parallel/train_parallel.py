@@ -194,24 +194,20 @@ def graphsum_ring(x_local, row_slabs, col_slabs, val_slabs, n_local, n_dev, axis
     return acc
 
 
-def _masked_ce_local(logits_local, labels_local, mask_local, num_samples, axis=AXIS):
-    """CE summed over local labeled nodes, psum'd across the mesh, divided by
-    the global split size. Also returns the reference-style correct count."""
-    lmax = jax.lax.stop_gradient(jnp.max(logits_local, axis=-1, keepdims=True))
-    shifted = logits_local - lmax
-    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
-    safe = jnp.clip(labels_local, 0, logits_local.shape[-1] - 1)
-    # one-hot select instead of take_along_axis (row gathers are
-    # index-rate-bound on TPU; see ops/loss.py)
-    class_ids = jax.lax.broadcasted_iota(jnp.int32, shifted.shape, 1)
-    truth = jnp.sum(jnp.where(class_ids == safe[:, None], shifted, 0.0), axis=-1)
-    maskf = mask_local.astype(jnp.float32)
-    local_sum = jnp.sum(maskf * (lse - truth))
-    loss = jax.lax.psum(local_sum, axis) / jnp.float32(num_samples)
-    correct = jax.lax.psum(
-        jnp.sum(maskf * (jax.lax.stop_gradient(truth) >= 0.0)), axis
+def _masked_ce_local(logits_local, labels_local, mask_local, num_samples,
+                     axis=AXIS):
+    """Masked softmax-CE + accuracy over the mesh: the shared row-wise core
+    (ops.loss.masked_softmax_xent_sums — one source of truth for the
+    max-subtraction/LSE/one-hot-select expression and the tie-counts-as-
+    correct trick) reduced with psum across the node shards."""
+    from parallel_gcn_tpu.ops.loss import masked_softmax_xent_sums
+
+    loss_sum, correct = masked_softmax_xent_sums(
+        logits_local, labels_local, mask_local
     )
-    return loss, correct / jnp.float32(num_samples)
+    loss = jax.lax.psum(loss_sum, axis) / jnp.float32(num_samples)
+    acc = jax.lax.psum(correct, axis) / jnp.float32(num_samples)
+    return loss, acc
 
 
 def _make_forward(cfg: Config, sgraph):
@@ -229,6 +225,8 @@ def _make_forward(cfg: Config, sgraph):
     ring = (not hybrid) and sgraph.ring
     n_pad = sgraph.n_nodes_pad
     precision = cfg.tpu.matmul_precision
+    residual = cfg.gcn.residual
+    dtype = jnp.dtype(cfg.tpu.compute_dtype)
 
     def _aggregate(h, graph_args):
         if hybrid:
@@ -242,20 +240,31 @@ def _make_forward(cfg: Config, sgraph):
         return graphsum_dist(h, *graph_args, n_local)
 
     def forward(weights, x_local, graph_args, training, key):
-        h = x_local
+        h = x_local.astype(dtype)
         if training:
             # per-device independent dropout masks over the local rows
             key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
             keys = jax.random.split(key, n_layers)
         else:
             keys = [None] * n_layers
+        prev = None
         for layer in range(n_layers):
             h = dropout(h, dropouts[layer], keys[layer], training=training)
-            h = feature_transform(h, weights[layer], precision=precision)
-            h = _aggregate(h, graph_args)
+            h = feature_transform(
+                h, weights[layer], precision=precision, out_dtype=dtype
+            )
+            h = _aggregate(h, graph_args).astype(dtype)
+            if (
+                residual
+                and 0 < layer < n_layers - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
             if layer < n_layers - 1:
                 h = jax.nn.relu(h)
-        return h
+                prev = h
+        return h.astype(jnp.float32)
 
     return forward
 

@@ -49,11 +49,11 @@ class FitResult:
 
 
 def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
-    backend = cfg.tpu.backend
-    if backend == "auto":
-        backend = "dense" if (
-            dds.graph.adj is not None and dds.graph.n_nodes <= cfg.tpu.dense_threshold
-        ) else "segment"
+    from parallel_gcn_tpu.ops.graphsum import resolve_backend
+
+    # one source of truth with ops.graphsum: auto prefers an existing
+    # hybrid/bcsr pack, then dense (when the adj was built), then segment
+    backend = resolve_backend(dds.graph, cfg.tpu.backend, cfg.tpu.dense_threshold)
     dropout_impl = cfg.tpu.dropout_impl
     if dropout_impl == "auto":
         dropout_impl = "threefry" if jax.default_backend() == "cpu" else "pallas"
@@ -296,7 +296,13 @@ def _fused_deferred_forward(
         return h
 
     train_preagg = model.input_preagg
-    share = train_preagg and all(d == 0 for d in model.dropouts[: L - 1])
+    # halves are identical whenever the prefix is deterministic AND both read
+    # the same input with the same layer-0 treatment (preagg on both sides,
+    # or preagg on neither — x_train is x_eval in both cases)
+    share = (
+        all(d == 0 for d in model.dropouts[: L - 1])
+        and train_preagg == eval_preagg
+    )
     ht = prefix(x_train.astype(dtype), True, train_preagg)
     he = ht if share else prefix(x_eval.astype(dtype), False, eval_preagg)
 

@@ -42,3 +42,25 @@ def test_cli_malformed_override_is_ignored(capsys):
     rc = main(["cora", "epochs=2", "early_stopping=0", "mode=eager", "bogus"])
     assert rc == 0
     assert "ignoring malformed argument" in capsys.readouterr().out
+
+
+def test_cli_checkpoint_and_resume(tmp_path, capsys):
+    """checkpoint_dir/checkpoint_every are reachable from the CLI key=value
+    surface, and resume_from restores the run."""
+    import os
+
+    from parallel_gcn_tpu.cli import main
+
+    ck = str(tmp_path / "ck")
+    rc = main(["cora", "epochs=3", "early_stopping=0", "mode=eager",
+               f"checkpoint_dir={ck}", "verbose=false"])
+    if rc == 2:  # dataset unavailable in this environment
+        pytest.skip("cora not available")
+    assert rc == 0
+    final = os.path.join(ck, "ckpt_final.npz")
+    assert os.path.exists(final)
+    rc = main(["cora", "epochs=5", "early_stopping=0", "mode=eager",
+               f"resume_from={final}", "verbose=false"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out or "epochs_run=2" in out

@@ -374,3 +374,40 @@ def test_fused_deferred_eval_single_epoch():
     r_eager = _fit_synthetic("eager", epochs=1)
     assert r_scan.history.shape == (1, 4)
     np.testing.assert_allclose(r_scan.history, r_eager.history, rtol=2e-4, atol=2e-4)
+
+
+def test_residual_grads_match_golden(small_graph, rng):
+    """Residual gradients vs the oracle, incl. the hidden==output-dim case
+    where the last layer must NOT get a residual (src/gcn.cu:116-142 places
+    ResidualConnection only on inner layers)."""
+    csr, graph = small_graph
+    n = csr.n_rows
+    dims = [10, 16, 16, 16]  # hidden == output dim: exercises the boundary
+    ws, ws_np = _weights_np(jax.random.PRNGKey(2), dims)
+    x = rng.standard_normal((graph.n_nodes, dims[0])).astype(np.float32)
+    x[n:] = 0
+    labels = rng.integers(0, dims[-1], size=graph.n_nodes).astype(np.int32)
+    mask_np = np.zeros(graph.n_nodes, dtype=bool)
+    mask_np[: n // 2] = True
+    num = int(mask_np.sum())
+
+    model = GCNModel(n_layers=3, dropouts=(0.0,) * 3, backend="segment",
+                     residual=True)
+
+    logits = np.asarray(model.apply(ws, jnp.asarray(x), graph, training=False))
+    expected, _ = golden_forward(ws_np, x[:n], csr, residual=True)
+    np.testing.assert_allclose(logits[:n], expected, rtol=5e-5, atol=5e-5)
+
+    def loss_fn(ws):
+        logits = model.apply(ws, jnp.asarray(x), graph, training=False)
+        loss, _ = masked_softmax_xent(
+            logits, jnp.asarray(labels), jnp.asarray(mask_np), num
+        )
+        return loss
+
+    grads = jax.grad(loss_fn)(ws)
+    g_golden, _ = golden_grads(
+        ws_np, x[:n], csr, labels[:n], mask_np[:n], residual=True
+    )
+    for g, gg in zip(grads, g_golden):
+        np.testing.assert_allclose(np.asarray(g), gg, rtol=1e-4, atol=1e-5)

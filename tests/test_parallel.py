@@ -379,3 +379,56 @@ def test_parallel_training_learns_and_matches_metrics(halo):
         par_metrics[:, [1, 3]], single_metrics[:, [1, 3]], atol=0.02
     )
     assert par_metrics[-1, 0] < par_metrics[0, 0]  # learning
+
+
+def test_parallel_residual_matches_single_chip():
+    """The multi-chip forward honors gcn.residual: a 3-layer residual model's
+    metric trajectory matches single-device training (no dropout, same init)."""
+    ds = _dataset()
+    n_dev = 4
+    sg = partition_graph(ds.graph, n_dev)
+    mesh = make_mesh(n_dev)
+    x, labels, split = shard_dataset(ds, sg)
+    cfg = Config(
+        gcn=GCNConfig(n_layers=3, hidden_dims=(16, 16), dropouts=(0.0,) * 3,
+                      epochs=8, early_stopping=0, residual=True),
+        adam=AdamConfig(),
+        tpu=TPUConfig(backend="segment", seed=5),
+        train=TrainConfig(verbose=False),
+    )
+    counts = {s: int((ds.split == s).sum()) for s in (1, 2, 3)}
+    step = make_parallel_epoch_step(cfg, mesh, sg, counts)
+    inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
+
+    key = jax.random.PRNGKey(0)
+    w = init_params(jax.random.PRNGKey(42), ds.input_dim, (16, 16), ds.output_dim)
+    w_single = [jnp.array(v) for v in w]
+    opt = init_adam(w)
+    par = []
+    for _ in range(8):
+        w, opt, key, m = step(w, opt, key, *inputs)
+        par.append(np.asarray(m))
+    par = np.stack(par)
+
+    g1 = build_graph(ds.graph, n_nodes_pad=sg.n_nodes_pad)
+    xp = np.zeros((sg.n_nodes_pad, ds.input_dim), np.float32)
+    xp[: ds.n_nodes] = ds.features
+    lp = np.full(sg.n_nodes_pad, -1, np.int32)
+    lp[: ds.n_nodes] = ds.labels
+    sp = np.zeros(sg.n_nodes_pad, np.int32)
+    sp[: ds.n_nodes] = ds.split
+    dds = DeviceDataset(
+        graph=g1, x=jnp.asarray(xp), labels=jnp.asarray(lp), split=jnp.asarray(sp),
+        n_real_nodes=ds.n_nodes, input_dim=ds.input_dim, output_dim=ds.output_dim,
+        split_counts=counts,
+    )
+    sstep = make_epoch_step(build_model(cfg, dds), cfg, dds)
+    opt1 = init_adam(w_single)
+    key1 = jax.random.PRNGKey(0)
+    single = []
+    for _ in range(8):
+        w_single, opt1, key1, m = sstep(w_single, opt1, key1)
+        single.append(np.asarray(m))
+    single = np.stack(single)
+    np.testing.assert_allclose(par[:, [0, 2]], single[:, [0, 2]], rtol=2e-3,
+                               atol=2e-3)
