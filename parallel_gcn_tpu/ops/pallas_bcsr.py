@@ -64,6 +64,11 @@ class BCSR:
     # and the kernel result is wrapped as out = d ⊙ K(d ⊙ x). ``sym_scale``
     # holds d ([n_nodes] f32); None for f32/bf16 value packs.
     sym_scale: jnp.ndarray | None = None
+    # mirror permutation: mirror_perm[t] = t' with (rows[t'], cols[t']) ==
+    # (cols[t], rows[t]). Exists iff the tile-POSITION set is symmetric and
+    # tiles are square; lets transposed-pack traversals (ops/pallas_sddmm's
+    # dB) reuse the row-sorted pack. None when not computed/applicable.
+    mirror_perm: jnp.ndarray | None = None
 
     @property
     def n_tiles(self) -> int:
@@ -132,14 +137,28 @@ def build_bcsr(
         np.ones(len(vals), np.int8) if binary else vals.astype(out_dtype)
     )
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
-    tile_cols = np.concatenate(
-        [uniq % n_tile_cols, np.zeros(len(missing), np.int64)]
-    ).astype(np.int32)
+    # zero tiles for uncovered rows sit on the DIAGONAL when square (their
+    # position is then its own mirror, keeping the position set symmetric for
+    # mirror_perm below); any valid column works — they contribute nothing
+    miss_cols = missing if tile_r == tile_c else np.zeros(len(missing), np.int64)
+    tile_cols = np.concatenate([uniq % n_tile_cols, miss_cols]).astype(np.int32)
     order = np.argsort(tile_rows, kind="stable")
     tiles = tiles[order]
     tile_rows = tile_rows[order]
     tile_cols = tile_cols[order]
     T = len(tile_rows)
+    # mirror permutation for square tiles with a symmetric position set
+    mirror_perm = None
+    if tile_r == tile_c:
+        n_tc = n_pad // tile_c
+        pos = tile_rows.astype(np.int64) * n_tc + tile_cols
+        mirror = tile_cols.astype(np.int64) * n_tc + tile_rows
+        lookup = np.argsort(pos, kind="stable")
+        idx = np.searchsorted(pos[lookup], mirror)
+        idx = np.clip(idx, 0, T - 1)
+        cand = lookup[idx]
+        if np.array_equal(pos[cand], mirror):
+            mirror_perm = cand.astype(np.int32)
     return BCSR(
         tiles=jnp.asarray(tiles),
         tile_rows=jnp.asarray(tile_rows),
@@ -156,6 +175,7 @@ def build_bcsr(
                 )
             )
         ),
+        mirror_perm=None if mirror_perm is None else jnp.asarray(mirror_perm),
     )
 
 
