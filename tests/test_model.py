@@ -52,7 +52,7 @@ def _synthetic(n=150, f=12, c=3, seed=0):
     return csr, x, labels, split
 
 
-@pytest.mark.parametrize("n_layers", [2, 3])
+@pytest.mark.parametrize("n_layers", [2, 3, 6])
 def test_forward_matches_golden(n_layers, small_graph, rng):
     csr, graph = small_graph
     dims = [12] + [16] * (n_layers - 1) + [4]
@@ -411,3 +411,15 @@ def test_residual_grads_match_golden(small_graph, rng):
     )
     for g, gg in zip(grads, g_golden):
         np.testing.assert_allclose(np.asarray(g), gg, rtol=1e-4, atol=1e-5)
+
+
+def test_deep_residual_gcn_trains():
+    """Deep configuration from BASELINE.json ("n_layers 4-8, wider hidden"):
+    a 6-layer residual GCN must train stably in the fused scan path."""
+    result = _fit_synthetic(
+        "scan", epochs=40, n_layers=6, hidden_dims=(32,) * 5,
+        dropouts=(0.1,) * 6, residual=True,
+    )
+    assert np.isfinite(result.history).all()
+    assert result.history[-1, 0] < result.history[0, 0]
+    assert result.test_acc > 0.6
