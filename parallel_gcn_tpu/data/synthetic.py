@@ -240,6 +240,57 @@ def _cache_load(name: str, seed: int):
         return None
 
 
+def _feat_cache_path(name: str, seed: int) -> str:
+    return os.path.join(
+        _CACHE_DIR, f"{name}_{seed}_feat_v{_GENERATOR_VERSION}.npz"
+    )
+
+
+def _feat_cache_load(name: str, seed: int):
+    """Cached (feature_csr, dense, labels, split) — everything downstream of
+    the rng, so a hit reproduces the generated dataset bit-identically while
+    skipping the expensive per-row column sampling (a full argsort of an
+    n_nodes×input_dim random matrix, ~22 s at reddit scale)."""
+    path = _feat_cache_path(name, seed)
+    if not os.path.exists(path):
+        return None
+    try:
+        z = np.load(path)
+        cols = z["cols"]  # [n, nnz_per_row] int32, row-sorted
+        vals = z["vals"]  # [n, nnz_per_row] f32
+        n, k = cols.shape
+        input_dim = int(z["input_dim"])
+        dense = np.zeros((n, input_dim), dtype=np.float32)
+        np.put_along_axis(dense, cols.astype(np.int64), vals, axis=1)
+        csr = HostCSR(
+            indptr=np.arange(n + 1, dtype=np.int64) * k,
+            indices=cols.reshape(-1),
+            values=vals.reshape(-1),
+            n_rows=n,
+            n_cols=input_dim,
+        )
+        return csr, dense, z["labels"], z["split"]
+    except Exception:
+        return None
+
+
+def _feat_cache_save(name, seed, csr, input_dim, labels, split) -> None:
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        n = csr.n_rows
+        k = csr.nnz // n
+        np.savez(
+            _feat_cache_path(name, seed),
+            cols=csr.indices.reshape(n, k).astype(np.int32),
+            vals=csr.values.reshape(n, k).astype(np.float32),
+            input_dim=input_dim,
+            labels=labels,
+            split=split,
+        )
+    except Exception:
+        pass  # caching is best-effort
+
+
 def _cache_save(name: str, seed: int, csr: HostCSR) -> None:
     try:
         os.makedirs(_CACHE_DIR, exist_ok=True)
@@ -324,23 +375,31 @@ def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
         )
         if cacheable:
             _cache_save(name, seed, graph)
-    feature_csr, features = synthetic_features(
-        n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
-    )
+    cached = _feat_cache_load(name, seed) if cacheable else None
+    if cached is not None and cached[0].n_rows == n_nodes:
+        feature_csr, features, labels, split = cached
+    else:
+        feature_csr, features = synthetic_features(
+            n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
+        )
 
-    # labels carry a weak feature signal so loss actually decreases: class =
-    # argmax of a fixed random projection of the features, with label noise
-    proj = rng.standard_normal((spec["input_dim"], spec["n_classes"])).astype(
-        np.float32
-    )
-    labels = np.argmax(features @ proj, axis=1).astype(np.int32)
-    noise = rng.random(n_nodes) < 0.1
-    labels[noise] = rng.integers(0, spec["n_classes"], size=int(noise.sum()))
+        # labels carry a weak feature signal so loss actually decreases:
+        # class = argmax of a fixed random projection, with label noise
+        proj = rng.standard_normal(
+            (spec["input_dim"], spec["n_classes"])
+        ).astype(np.float32)
+        labels = np.argmax(features @ proj, axis=1).astype(np.int32)
+        noise = rng.random(n_nodes) < 0.1
+        labels[noise] = rng.integers(0, spec["n_classes"], size=int(noise.sum()))
 
-    split = np.full(n_nodes, TEST, dtype=np.int32)
-    perm = rng.permutation(n_nodes)
-    split[perm[: spec["n_train"]]] = TRAIN
-    split[perm[spec["n_train"] : spec["n_train"] + spec["n_val"]]] = VAL
+        split = np.full(n_nodes, TEST, dtype=np.int32)
+        perm = rng.permutation(n_nodes)
+        split[perm[: spec["n_train"]]] = TRAIN
+        split[perm[spec["n_train"] : spec["n_train"] + spec["n_val"]]] = VAL
+        if cacheable:
+            _feat_cache_save(
+                name, seed, feature_csr, spec["input_dim"], labels, split
+            )
 
     return Dataset(
         name=name,
