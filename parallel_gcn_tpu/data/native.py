@@ -141,15 +141,16 @@ def community_labels_native(
     Raises on any unavailability; callers fall back to the NumPy loop."""
     lib = _get_lib()
     fn = lib.pgcn_community_labels
-    fn.restype = None
-    fn.argtypes = [
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64),
-        ctypes.c_int64,
-        ctypes.c_int64,
-        ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int64),
-    ]
+    if fn.argtypes is None:  # configure the signature once per process
+        fn.restype = None
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     rows64 = np.ascontiguousarray(rows, dtype=np.int64)
     cols64 = np.ascontiguousarray(cols, dtype=np.int64)
     labels = np.arange(n, dtype=np.int64)

@@ -82,6 +82,19 @@ class GCNModel:
             return dropout_pallas(h, key_to_seed(key), rate)
         return dropout(h, rate, key, training=training)
 
+    def aggregate(self, h, graph):
+        """``Â·h`` with this model's backend/precision knobs — the single home
+        for the graphsum call shared by apply, the deferred-eval fused path
+        (train._fused_deferred_forward) and input pre-aggregation."""
+        return graphsum(
+            h,
+            graph,
+            backend=self.backend,
+            edge_chunk=self.edge_chunk,
+            dense_threshold=self.dense_threshold,
+            precision=self.precision,
+        )
+
     def layer_pre(self, h, layer, weights, key, training):
         """Layer ``layer``'s pre-aggregation half: dropout → feature transform
         (with the optional fused dropout⊗matmul kernel). Shared by ``apply``
@@ -145,14 +158,7 @@ class GCNModel:
             if layer == 0 and preagg:
                 pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
             else:
-                h = graphsum(
-                    h,
-                    graph,
-                    backend=self.backend,
-                    edge_chunk=self.edge_chunk,
-                    dense_threshold=self.dense_threshold,
-                    precision=self.precision,
-                )
+                h = self.aggregate(h, graph)
             if (
                 self.residual
                 and 0 < layer < self.n_layers - 1

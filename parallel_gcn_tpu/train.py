@@ -71,6 +71,12 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
     )
 
 
+def _l2_term(wd, w0):
+    """wd·||W0||²/2 — the reported-loss regularizer (finalize,
+    src/gcn.cu:440-455; L2 applies to the first weight only)."""
+    return jnp.float32(wd) * l2_penalty(w0) / 2.0
+
+
 def _ce_fn(cfg: Config):
     """Pick the masked softmax-CE implementation (TPUConfig.ce_impl).
 
@@ -108,23 +114,10 @@ def preaggregate_input(
     """
     import dataclasses
 
-    from parallel_gcn_tpu.ops.graphsum import graphsum
-
     if model.input_preagg or dds.x_agg is not None:
         return model, dds
 
-    @jax.jit
-    def agg(x, graph):
-        return graphsum(
-            x,
-            graph,
-            backend=model.backend,
-            edge_chunk=model.edge_chunk,
-            dense_threshold=model.dense_threshold,
-            precision=model.precision,
-        )
-
-    x_agg = agg(dds.x, dds.graph)
+    x_agg = jax.jit(model.aggregate)(dds.x, dds.graph)
     # store Â·X directly in the compute dtype: apply() would cast per use
     # anyway, and bf16 storage halves the reads of the widest activation
     if jnp.dtype(model.compute_dtype) != jnp.float32:
@@ -171,7 +164,7 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
         )
         # reported train loss includes the L2 term of the PRE-update W0
         # (get_l2_penalty runs right after the forward, src/gcn.cu:314).
-        train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        train_loss = ce + _l2_term(wd, weights[0])
 
         weights, opt_state = adam_step(
             weights,
@@ -189,7 +182,7 @@ def make_epoch_step(model: GCNModel, cfg: Config, dds: DeviceDataset) -> Callabl
             weights, x_eval, graph, training=False, input_preagg=eval_preagg
         )
         val_ce, val_acc = ce_op(val_logits, labels, val_mask, n_val)
-        val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        val_loss = val_ce + _l2_term(wd, weights[0])
 
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
         return weights, opt_state, key, metrics
@@ -219,7 +212,7 @@ def make_eval_fn(model: GCNModel, cfg: Config, dds: DeviceDataset, split: int) -
                         input_preagg=eval_preagg),
             labels, mask, n,
         )
-        loss = ce_val + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        loss = ce_val + _l2_term(wd, weights[0])
         return loss, acc
 
     jitted = jax.jit(eval_fn)
@@ -266,16 +259,7 @@ def _fused_deferred_forward(
         keys = [None] * L
 
     def agg(h):
-        from parallel_gcn_tpu.ops.graphsum import graphsum
-
-        return graphsum(
-            h,
-            graph,
-            backend=model.backend,
-            edge_chunk=model.edge_chunk,
-            dense_threshold=model.dense_threshold,
-            precision=model.precision,
-        )
+        return model.aggregate(h, graph)
 
     def prefix(h, training, preagg):
         # layers 0..L-2 of GCNModel.apply, via the shared per-layer core
@@ -349,7 +333,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             (ce, train_acc), grads = jax.value_and_grad(ce_loss, has_aux=True)(
                 weights, dropout_key
             )
-            train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            train_loss = ce + _l2_term(wd, weights[0])
             weights, opt_state = adam_step(
                 weights, grads, opt_state,
                 learning_rate=adam.learning_rate, weight_decay=wd,
@@ -359,7 +343,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
                 weights, x_eval, graph, training=False, input_preagg=eval_preagg
             )
             val_ce, val_acc = ce_op(val_logits, labels, val_mask, n_val)
-            val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            val_loss = val_ce + _l2_term(wd, weights[0])
             return weights, opt_state, key, train_loss, train_acc, val_loss, val_acc
 
         # deferred-eval fusion applies when the epoch schedule is static (no
@@ -395,7 +379,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
                 # l2 of the PRE-update W0 — for the train loss by reference
                 # semantics (src/gcn.cu:314), for the val loss because these
                 # weights ARE the ones the deferred eval ran on
-                pen = jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+                pen = _l2_term(wd, weights[0])
                 tl = ce + pen
                 vl = vce + pen
                 weights, opt_state = adam_step(
@@ -414,7 +398,7 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
                 weights, x_eval, graph, training=False, input_preagg=eval_preagg
             )
             vce, vacc = ce_op(val_logits, labels, val_mask, n_val)
-            vl_fin = vce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+            vl_fin = vce + _l2_term(wd, weights[0])
             val_cols = jnp.concatenate(
                 [em[1:, 2:4], jnp.stack([vl_fin, vacc])[None, :]], axis=0
             )
