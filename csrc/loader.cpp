@@ -37,12 +37,19 @@ Buffer slurp(const std::string &path) {
     if (!f) return b;
     std::fseek(f, 0, SEEK_END);
     long n = std::ftell(f);
+    if (n < 0) {  // unseekable (FIFO/special file): refuse rather than
+        std::fclose(f);  // fread(SIZE_MAX) into a 0-byte buffer
+        return b;
+    }
     std::fseek(f, 0, SEEK_SET);
-    b.data = static_cast<char *>(std::malloc(n + 1));
+    b.data = static_cast<char *>(std::malloc(static_cast<size_t>(n) + 1));
     if (b.data && std::fread(b.data, 1, n, f) == static_cast<size_t>(n)) {
         b.size = n;
         b.data[n] = '\0';
         b.ok = true;
+    } else if (b.data) {
+        std::free(b.data);  // short read: don't leak the buffer
+        b.data = nullptr;
     }
     std::fclose(f);
     return b;
@@ -67,7 +74,10 @@ inline bool parse_float(const char *&p, const char *end, float &out) {
     skip_spaces(p, end);
     char *q;
     float v = std::strtof(p, &q);
-    if (q == p) return false;
+    // strtof ignores our line boundary (it skips newlines as whitespace):
+    // a malformed "id:" entry would swallow the next line's label. Reject
+    // any parse that starts or ends past the line end.
+    if (q == p || p >= end || q > end) return false;
     p = q;
     out = v;
     return true;
@@ -122,6 +132,12 @@ PgcnDataset *pgcn_load(const char *dir, const char *name, int binarize) {
         std::free(b.data);
     }
 
+    // ---- validate neighbor ids (the Python spec path raises IndexError on
+    // out-of-range ids; without this the Â loop reads out of bounds)
+    for (const int32_t dst : ds->g_indices) {
+        if (dst < 0 || dst >= ds->n_nodes) { ds->status = -4; return ds; }
+    }
+
     {  // ---- Â values: 1/sqrt(deg_src * deg_dst), degrees self-loop-inclusive
         ds->g_values.resize(ds->g_indices.size());
         for (int64_t src = 0; src < ds->n_nodes; ++src) {
@@ -167,6 +183,12 @@ PgcnDataset *pgcn_load(const char *dir, const char *name, int binarize) {
         ds->input_dim = max_idx + 1;
         ds->output_dim = max_label + 1;
         std::free(b.data);
+        // the ctypes side copies n_nodes(+1) entries from labels/f_indptr —
+        // a truncated .svmlight must fail loudly, not read past the vectors
+        if (static_cast<int64_t>(ds->labels.size()) != ds->n_nodes) {
+            ds->status = -5;
+            return ds;
+        }
     }
 
     {  // ---- .split: one int per node (1=train 2=val 3=test)
@@ -180,6 +202,12 @@ PgcnDataset *pgcn_load(const char *dir, const char *name, int binarize) {
             while (p < end && (*p == '\n' || *p == '\r')) ++p;
         }
         std::free(b.data);
+        if (static_cast<int64_t>(ds->split.size()) != ds->n_nodes) {
+            // BOM/blank-line/truncation silently stopping parse_int would
+            // otherwise yield empty or wrong train/val/test masks
+            ds->status = -6;
+            return ds;
+        }
     }
 
     return ds;

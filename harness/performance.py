@@ -82,8 +82,13 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
         "epoch_ms_mean": float(np.mean(times)),
         "epoch_ms_sd": float(np.std(times)),
         "edges_per_s": edges / (best / 1e3),
-        "vs_gpu_baseline": BASELINE_GPU_MS[dataset] / best,
-        "vs_cpu_baseline": BASELINE_CPU_MS[dataset] / best,
+        # datasets without published baselines (e.g. synth-medium) report null
+        "vs_gpu_baseline": (
+            BASELINE_GPU_MS[dataset] / best if dataset in BASELINE_GPU_MS else None
+        ),
+        "vs_cpu_baseline": (
+            BASELINE_CPU_MS[dataset] / best if dataset in BASELINE_CPU_MS else None
+        ),
     }
 
 
@@ -112,7 +117,12 @@ def main() -> int:
             f"{name:10s} backend={r['backend']:8s} "
             f"epoch {r['epoch_ms_min']:.4f} ms (mean {r['epoch_ms_mean']:.4f}±{r['epoch_ms_sd']:.4f}) "
             f"{r['edges_per_s'] / 1e6:.1f} Medge/s "
-            f"| {r['vs_gpu_baseline']:.2f}x T4, {r['vs_cpu_baseline']:.0f}x CPU baseline"
+            + (
+                f"| {r['vs_gpu_baseline']:.2f}x T4, "
+                f"{r['vs_cpu_baseline']:.0f}x CPU baseline"
+                if r["vs_gpu_baseline"] is not None
+                else "| (no published baseline)"
+            )
         )
         print(line)
         rows.append(json.dumps(r))

@@ -56,8 +56,24 @@ def bench_golden(dataset: str, epochs: int) -> dict:
     decay_flags = [True] + [False] * (len(weights) - 1)
     a = cfg.adam
 
+    # the timed epoch includes the dropout multiplies and residual adds the
+    # dataset's config actually trains with (the sequential reference applies
+    # dropout per layer too, hpdga-spring23/src/module.cpp) — omitting them
+    # would make the golden denominator systematically cheaper
+    dropouts = list(cfg.gcn.dropouts)
+    keep_probs = [1.0 - d for d in dropouts]
+
     def epoch():
-        grads, _ = golden_grads(weights, ds.features, ds.graph, ds.labels, mask)
+        masks = [
+            (rng.random((ds.n_nodes, dims[i])) < keep_probs[i]).astype(np.float32)
+            if dropouts[i] > 0 else None
+            for i in range(len(weights))
+        ]
+        grads, _ = golden_grads(
+            weights, ds.features, ds.graph, ds.labels, mask,
+            dropout_masks=masks, keep_probs=keep_probs,
+            residual=cfg.gcn.residual,
+        )
         golden_adam_step(
             weights, grads, state, a.learning_rate, a.weight_decay,
             a.beta1, a.beta2, a.eps, decay_flags,

@@ -114,10 +114,11 @@ def main() -> int:
     if sizes and max(sizes) > avail:
         # fall back to a virtual CPU mesh big enough for the requested sizes
         # (the axon TPU plugin ignores JAX_PLATFORMS=cpu set in the env)
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={max(sizes)}"
-        ).strip()
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max(sizes)}"
+            ).strip()
         import jax.extend.backend as _jexb
 
         _jexb.clear_backends()

@@ -51,7 +51,6 @@ PRESETS = {
 def sweep(dataset: str, preset: str, seeds: int, epochs: int):
     import dataclasses
 
-    import jax.numpy as jnp_  # noqa: F401  (jax already imported)
     from parallel_gcn_tpu.ops.graphsum import graphsum
 
     base = load_config(default_params_path(dataset))

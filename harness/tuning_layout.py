@@ -95,7 +95,17 @@ def main() -> int:
     args = ap.parse_args()
     grid = dict(GRID)
     if args.backends:
-        grid["backend"] = [b for b in grid["backend"] if b in args.backends.split(",")]
+        known = ("dense", "segment", "bcsr", "hybrid")
+        requested = args.backends.split(",")
+        unknown = [b for b in requested if b not in known]
+        if unknown:
+            print(f"unknown backend(s) {unknown}; choose from {known}",
+                  file=sys.stderr)
+            return 2
+        # honor the request directly — bcsr is sweepable even though the
+        # default grid omits it (a full-coverage pack is oversized at reddit
+        # scale, but citation graphs sweep fine)
+        grid["backend"] = requested
     if args.reorders:
         grid["reorder"] = [r for r in grid["reorder"] if r in args.reorders.split(",")]
 
