@@ -111,6 +111,11 @@ class TPUConfig:
     # (permutation-equivariant preprocessing for block-sparse locality,
     # data/reorder.py — the TPU analog of the reference's per-dataset tuning)
     reorder: str = "none"
+    # hub-block size for the community reorder (top-degree nodes pulled into
+    # one leading block; their edges are excluded from label propagation).
+    # 1024 suits reddit scale; graphs an order of magnitude larger need a
+    # proportionally larger block or hub edges fragment the clustering
+    reorder_hub_block: int = 1024
     compute_dtype: str = "float32"  # float32 | bfloat16 (matmul inputs)
     matmul_precision: str = "highest"  # highest (f32 parity) | default (fast bf16)
     dropout_impl: str = "auto"  # auto | threefry | pallas (TPU hardware PRNG)
@@ -213,6 +218,7 @@ _KEYMAP = {
     "seed": ("tpu", "seed"),
     "backend": ("tpu", "backend"),
     "reorder": ("tpu", "reorder"),
+    "reorder_hub_block": ("tpu", "reorder_hub_block"),
     "tile_size": ("tpu", "tile_size"),
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
     "tile_cols": ("tpu", "tile_cols"),

@@ -287,10 +287,11 @@ def prepare_host_dataset(cfg, name: str) -> Dataset:
             rcm_permutation,
         )
 
-        order_fn = {"rcm": rcm_permutation, "community": community_order}[
-            cfg.tpu.reorder
-        ]
-        ds = permute_dataset(ds, order_fn(ds.graph))
+        if cfg.tpu.reorder == "community":
+            order = community_order(ds.graph, hub_block=cfg.tpu.reorder_hub_block)
+        else:
+            order = rcm_permutation(ds.graph)
+        ds = permute_dataset(ds, order)
     return ds
 
 

@@ -43,6 +43,21 @@ SYNTHETIC_SPECS = {
         n_val=23_831,
         feature_nnz_per_row=64,
     ),
+    # ogbn-products scale (2.45M nodes / 124M directed edges — 10x reddit):
+    # the "beyond-reddit" single-chip scale demonstration from BASELINE.json
+    "synth-products": dict(
+        n_nodes=2_449_029,
+        n_edges=123_718_280,  # 2x the 61.9M undirected edges
+        input_dim=100,
+        n_classes=47,
+        n_train=196_615,
+        n_val=39_323,
+        feature_nnz_per_row=32,
+        # ~510-node communities (one 512-tile each): real product co-purchase
+        # graphs cluster at category granularity, not the default 960 blocks
+        # (2.5K nodes each — only 1.9% intra-tile density at this scale)
+        n_communities=4800,
+    ),
     # a ~10x smaller variant for quick iteration / CI-scale runs
     "synth-medium": dict(
         n_nodes=25_000,
@@ -372,6 +387,7 @@ def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
         graph = synthetic_csr(
             n_nodes, spec["n_edges"], seed=seed,
             structure=spec.get("structure", "community"),
+            n_communities=spec.get("n_communities", 960),
         )
         if cacheable:
             _cache_save(name, seed, graph)
