@@ -5,7 +5,7 @@
 
 PY ?= python
 
-.PHONY: test run-cora run-citeseer run-pubmed run-reddit bench perf accuracy \
+.PHONY: test run-cora run-citeseer run-pubmed run-reddit run-products bench perf accuracy \
         tuning layout golden scaling plots native clean
 
 test:
@@ -24,6 +24,10 @@ run-pubmed:
 
 run-reddit:
 	$(PY) -m parallel_gcn_tpu synth-reddit
+
+# beyond-reference scale demo (ogbn-products scale, 2.45M nodes / 126M edges)
+run-products:
+	$(PY) -m parallel_gcn_tpu synth-products
 
 bench:
 	$(PY) bench.py
