@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <limits>
 #include <algorithm>
 #include <string>
 #include <vector>
@@ -65,7 +66,14 @@ inline bool parse_int(const char *&p, const char *end, long &out) {
     bool neg = *p == '-';
     if (neg) ++p;
     long v = 0;
-    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    while (p < end && *p >= '0' && *p <= '9') {
+        int d = *p - '0';
+        // overflow guard: a corrupt id > LONG_MAX must fail the parse, not
+        // wrap silently before the caller's range check
+        if (v > (std::numeric_limits<long>::max() - d) / 10) return false;
+        v = v * 10 + d;
+        ++p;
+    }
     out = neg ? -v : v;
     return true;
 }
@@ -124,12 +132,21 @@ PgcnDataset *pgcn_load(const char *dir, const char *name, int binarize) {
                 ds->g_indices.push_back(static_cast<int32_t>(v));
                 ++nnz;
             }
+            skip_spaces(p, line_end);
+            if (p < line_end) {
+                // unparsed garbage on a neighbor line (including an id that
+                // overflowed parse_int) — fail loudly instead of silently
+                // truncating the node's neighbor list
+                ds->status = -7;
+                break;
+            }
             ds->g_indptr.push_back(ds->g_indptr.back() + nnz);
             ++node;
             p = nl ? nl + 1 : end;
         }
         ds->n_nodes = node;
         std::free(b.data);
+        if (ds->status != 0) return ds;
     }
 
     // ---- validate neighbor ids (the Python spec path raises IndexError on

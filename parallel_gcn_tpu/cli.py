@@ -46,8 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     resume_from = None
     for arg in argv[1:]:
         if "=" not in arg:
-            print(f"ignoring malformed argument {arg!r} (expected key=value)")
-            continue
+            # a silently-ignored typo'd override would train with the wrong
+            # config without a word — hard error instead
+            print(f"error: malformed argument {arg!r} (expected key=value)")
+            return 2
         key, val = arg.split("=", 1)
         if key == "file":
             params_file = val
@@ -60,7 +62,11 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     print_device_info()
-    cfg = load_config(params_file or default_params_path(dataset), overrides)
+    try:
+        cfg = load_config(params_file or default_params_path(dataset), overrides)
+    except (KeyError, ValueError) as e:
+        print(f"error: {e}")
+        return 2
 
     print(f"PARSING {dataset} ...")
     if cfg.tpu.n_devices > 1:

@@ -164,6 +164,15 @@ class TPUConfig:
         """Validate layout invariants. Also re-invoked by
         data.parser.prepare_device_dataset to cover harnesses that mutate the
         config programmatically after construction."""
+        if self.backend not in ("auto", "dense", "segment", "bcsr", "hybrid"):
+            raise ValueError(
+                "backend must be auto|dense|segment|bcsr|hybrid, "
+                f"got {self.backend!r}"
+            )
+        if self.reorder not in ("none", "rcm", "community"):
+            raise ValueError(
+                f"reorder must be none|rcm|community, got {self.reorder!r}"
+            )
         if self.tile_size % 128 != 0:
             raise ValueError(f"tile_size must be a multiple of 128, got {self.tile_size}")
         if self.tile_cols and self.tile_cols % self.tile_size != 0:
@@ -244,6 +253,39 @@ _KEYMAP = {
 }
 
 
+_SECTION_CLS = None  # filled lazily (Config classes defined above)
+
+
+def _check_value_type(section: str, name: str, val) -> None:
+    """Hard-error on type mismatches so a typo'd override (``epochs=10O``
+    parses as the string "10O") cannot silently fall back to a default or
+    misbehave downstream. Declared field annotations are strings
+    (``from __future__ import annotations``), so match on the text."""
+    global _SECTION_CLS
+    if _SECTION_CLS is None:
+        _SECTION_CLS = {
+            "gcn": GCNConfig, "adam": AdamConfig, "data": DataConfig,
+            "tpu": TPUConfig, "train": TrainConfig,
+        }
+    ftype = {f.name: f.type for f in dataclasses.fields(_SECTION_CLS[section])}[name]
+    is_num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+    if ftype == "int":
+        ok = is_num(val) and float(val) == int(val)
+    elif ftype == "float":
+        ok = is_num(val)
+    elif ftype == "bool":
+        ok = isinstance(val, bool)
+    elif ftype == "str":
+        ok = isinstance(val, str)
+    else:  # Sequence[int] / Sequence[float]: scalar or list of numbers
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        ok = len(vals) > 0 and all(is_num(v) for v in vals)
+    if not ok:
+        raise ValueError(
+            f"config key {name}={val!r} is not a valid {ftype}"
+        )
+
+
 def load_config(path: str, overrides: dict | None = None) -> Config:
     """Build a Config from a key=value file plus optional overrides.
 
@@ -260,6 +302,7 @@ def load_config(path: str, overrides: dict | None = None) -> Config:
         if key not in _KEYMAP:
             raise KeyError(f"unknown config key {key!r} in {path}")
         section, name = _KEYMAP[key]
+        _check_value_type(section, name, val)
         sections[section][name] = val
 
     return Config(

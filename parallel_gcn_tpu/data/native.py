@@ -21,7 +21,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # A rebuild over a dlopen'd path is a no-op (ctypes never dlcloses — the old
 # link map wins) and can corrupt the mapped library; a new name sidesteps
 # both. Stale _native*.so files from older revisions are simply ignored.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 _SO_PATH = os.path.join(_HERE, f"_native_v{_ABI_VERSION}.so")
 _CSRC = os.path.normpath(os.path.join(_HERE, "..", "..", "csrc"))
 

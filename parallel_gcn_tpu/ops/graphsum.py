@@ -152,13 +152,27 @@ def resolve_backend(graph: Graph, backend: str, dense_threshold: int = 8192) -> 
     if backend in ("bcsr", "segment") and graph.is_hybrid:
         # a hybrid-built graph keeps only the dense tiles in bcsr and only the
         # residual edges in row/col/val — serving either alone would silently
-        # compute a wrong aggregation
+        # compute a wrong aggregation. The coercion preserves correctness, but
+        # surface the configuration mismatch instead of hiding it.
+        import warnings
+
+        warnings.warn(
+            f"backend={backend!r} requested on a hybrid-built graph; serving "
+            "tiles or residual alone would drop edges — using 'hybrid'",
+            stacklevel=2,
+        )
         backend = "hybrid"
     if not graph.is_hybrid and not graph.coo_complete:
         # hybrid build demoted to pure tiles (empty residual): the COO arrays
         # are padding-only, so ANY request must be served by the tile pack
         if graph.bcsr is None:
             raise ValueError("graph has neither a complete COO nor a tile pack")
+        if backend in ("dense", "segment"):
+            raise ValueError(
+                f"backend={backend!r} requested but this graph carries only a "
+                "tile pack (hybrid build with empty residual; its COO/adj "
+                "arrays are padding-only) — use backend=bcsr/hybrid/auto"
+            )
         backend = "bcsr"
     elif backend == "hybrid" and not graph.is_hybrid and graph.bcsr is not None:
         backend = "bcsr"

@@ -37,11 +37,37 @@ def test_cli_no_args_prints_usage(capsys):
     assert main([]) == 2
 
 
-@requires_cora
-def test_cli_malformed_override_is_ignored(capsys):
+def test_cli_malformed_argument_is_hard_error(capsys):
     rc = main(["cora", "epochs=2", "early_stopping=0", "mode=eager", "bogus"])
-    assert rc == 0
-    assert "ignoring malformed argument" in capsys.readouterr().out
+    assert rc == 2
+    assert "malformed argument" in capsys.readouterr().out
+
+
+@requires_cora
+def test_cli_typoed_value_is_hard_error(capsys):
+    """epochs=10O (letter O) must NOT silently train the default epochs."""
+    rc = main(["cora", "epochs=10O", "mode=eager"])
+    assert rc == 2
+    assert "not a valid int" in capsys.readouterr().out
+
+
+@requires_cora
+def test_cli_unknown_key_is_hard_error(capsys):
+    rc = main(["cora", "epocs=10", "mode=eager"])
+    assert rc == 2
+    assert "unknown config key" in capsys.readouterr().out
+
+
+def test_tpu_config_validates_backend_and_reorder():
+    """A typo'd layout knob (e.g. reorder='comunity') must raise, not silently
+    run a different layout (ADVICE.md round 1)."""
+    from parallel_gcn_tpu.config import TPUConfig
+
+    with pytest.raises(ValueError, match="reorder"):
+        TPUConfig(reorder="comunity")
+    with pytest.raises(ValueError, match="backend"):
+        TPUConfig(backend="dens")
+    TPUConfig(reorder="community", backend="hybrid")  # valid values pass
 
 
 def test_cli_checkpoint_and_resume(tmp_path, capsys):

@@ -121,6 +121,24 @@ def test_native_loader_matches_python():
     assert (input_dim, output_dim) == (ds.input_dim, ds.output_dim)
 
 
+def test_native_loader_rejects_overflowing_ids(tmp_path):
+    """A corrupt neighbor id > 2^63 must fail the load (status -7), not wrap
+    through parse_int's accumulator and slip past the range check."""
+    import pytest as _pytest
+
+    try:
+        from parallel_gcn_tpu.data import native
+
+        native._get_lib()
+    except Exception:
+        _pytest.skip("native loader unavailable (no compiler?)")
+    (tmp_path / "corrupt.graph").write_text("1\n99999999999999999999999\n")
+    (tmp_path / "corrupt.svmlight").write_text("0 0:1.0\n1 0:1.0\n")
+    (tmp_path / "corrupt.split").write_text("1\n2\n")
+    with _pytest.raises(Exception, match="status -7"):
+        native.load_dataset_native(str(tmp_path), "corrupt", False)
+
+
 def test_local_clustering_coefficient():
     """Triangle graph + pendant: verify against hand-computed values
     (reference parser experiment, src/parser.cpp:135-162)."""

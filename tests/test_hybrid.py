@@ -118,8 +118,12 @@ def test_resolve_backend_protects_hybrid():
             break
     assert g.is_hybrid and (np.asarray(g.val) != 0).any()
     assert resolve_backend(g, "auto") == "hybrid"
-    assert resolve_backend(g, "bcsr") == "hybrid"  # residual must not be dropped
-    assert resolve_backend(g, "segment") == "hybrid"  # tiles must not be dropped
+    # explicit bcsr/segment on a hybrid graph is coerced (correctness) but
+    # surfaces the config mismatch as a warning
+    with pytest.warns(UserWarning, match="hybrid"):
+        assert resolve_backend(g, "bcsr") == "hybrid"  # residual must not be dropped
+    with pytest.warns(UserWarning, match="hybrid"):
+        assert resolve_backend(g, "segment") == "hybrid"  # tiles must not be dropped
 
     # low threshold -> every edge tiled: the empty residual pass is skipped
     g2 = build_graph(csr, hybrid=True, min_tile_nnz=1)
@@ -128,8 +132,12 @@ def test_resolve_backend_protects_hybrid():
     assert resolve_backend(g2, "auto") == "bcsr"
     assert resolve_backend(g2, "hybrid") == "bcsr"
     # a 'segment' request on the demoted graph must NOT run over the
-    # padding-only COO (it would silently return zeros)
-    assert resolve_backend(g2, "segment") == "bcsr"
+    # padding-only COO (it would silently return zeros) — explicit requests
+    # for structures the graph does not carry are hard errors
+    with pytest.raises(ValueError, match="tile pack"):
+        resolve_backend(g2, "segment")
+    with pytest.raises(ValueError, match="tile pack"):
+        resolve_backend(g2, "dense")
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (g2.n_nodes, 8)).astype(np.float32))
     a = np.asarray(graphsum(x, g2))
