@@ -155,9 +155,17 @@ class TPUConfig:
     # minimum nnz for a tile to qualify (0 = auto break-even vs gather cost)
     min_tile_nnz: int = 0
     # multi-chip training: number of mesh devices (0/1 = single-chip path)
-    # and the halo-exchange strategy for the node-partitioned aggregation
+    # and the halo-exchange strategy for the node-partitioned aggregation:
+    # all_gather (full remote feature gather — fast while N·F fits HBM),
+    # boundary (all_to_all of only the referenced remote rows/tile-blocks —
+    # per-device memory O(N/D + halo); works with ALL backends incl. hybrid
+    # tiles), ring (ppermute block rotation; COO backends only)
     n_devices: int = 0
-    halo: str = "all_gather"  # all_gather | ring (ppermute block rotation)
+    halo: str = "all_gather"
+    # spread hot tile-row blocks across devices via a whole-block node
+    # permutation when the natural order concentrates tiles (hybrid backend;
+    # parallel.partition._balance_block_perm)
+    balance_slabs: bool = True
     seed: int = 19990304  # reference default seed (include/utils.cuh:22)
 
     def __post_init__(self):
@@ -180,8 +188,10 @@ class TPUConfig:
                 f"tile_cols ({self.tile_cols}) must be a multiple of "
                 f"tile_size ({self.tile_size})"
             )
-        if self.halo not in ("all_gather", "ring"):
-            raise ValueError(f"halo must be all_gather|ring, got {self.halo!r}")
+        if self.halo not in ("all_gather", "boundary", "ring"):
+            raise ValueError(
+                f"halo must be all_gather|boundary|ring, got {self.halo!r}"
+            )
         if self.ce_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"ce_impl must be auto|xla|pallas, got {self.ce_impl!r}")
         if self.tile_dtype not in ("auto", "float32", "bfloat16", "int8"):
@@ -235,6 +245,7 @@ _KEYMAP = {
     "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
+    "balance_slabs": ("tpu", "balance_slabs"),
     "input_preagg": ("tpu", "input_preagg"),
     "node_pad": ("tpu", "node_pad"),
     "compute_dtype": ("tpu", "compute_dtype"),

@@ -88,9 +88,11 @@ def golden_loss_acc(
     """Masked softmax CE + L2 term + reference-style accuracy.
 
     Matches the fused kernel src/module.cu:484-524 (max-subtraction, mean over
-    the split's samples) plus finalize (src/gcn.cu:440-455: + wd·||W0||²/2) and
-    the accuracy trick (truth logit == row max counts as correct,
-    src/gcn.cu:264-289).
+    the split's samples) plus finalize (src/gcn.cu:440-455: + wd·||W0||²/2).
+    Accuracy = argmax(logits) == label, matching ops.loss (the reference's
+    truth-logit-equals-max trick, src/gcn.cu:264-289, agrees except on exact
+    logit ties; see masked_softmax_xent_sums for why the trick is unsound
+    under XLA recomputation).
     """
     num_samples = int(mask.sum())
     lmax = logits.max(axis=1, keepdims=True)
@@ -100,7 +102,7 @@ def golden_loss_acc(
     truth = shifted[np.arange(len(labels)), safe_labels]
     ce = float((mask * (lse - truth)).sum() / num_samples)
     loss = ce + weight_decay * float((weights0**2).sum()) / 2.0
-    correct = mask & (truth >= 0.0)
+    correct = mask & (logits.argmax(axis=1) == safe_labels)
     acc = float(correct.sum() / num_samples)
     return loss, acc, ce
 

@@ -40,9 +40,20 @@ def masked_softmax_xent_sums(
 
     maskf = mask.astype(jnp.float32)
     loss_sum = jnp.sum(maskf * (lse - truth))
-    # accuracy trick: after max-subtraction the truth logit is >= 0 iff it is
-    # the row max (src/gcn.cu:271-278 counts truth_logit < 0 as wrong).
-    correct = jnp.sum(maskf * (jax.lax.stop_gradient(truth) >= 0.0))
+    # Accuracy: prediction = argmax, correct iff it equals the label. The
+    # reference instead tests truth_logit - max >= 0 on its STORED logits
+    # (src/gcn.cu:271-278) — that exact-cancellation trick is unsound under
+    # XLA, which may duplicate the logits computation into the max-reduce and
+    # the subtract with different fusion/rounding (observed on the sharded
+    # int8 path: truth - max = -2e-9 on correctly-classified rows, and
+    # lax.optimization_barrier does NOT prevent the duplication). argmax is a
+    # single reduction over ONE evaluation of the row, and the == label test
+    # is integer — immune to recomputation noise. Semantics differ from the
+    # reference only on EXACT logit ties (argmax takes the first max; the
+    # reference counts any tied truth as correct), which do not occur with
+    # trained float logits.
+    pred = jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+    correct = jnp.sum(maskf * (pred == safe_labels))
     return loss_sum, correct
 
 

@@ -135,8 +135,11 @@ def _ce_call(logits, labels, mask, num_samples, write_grad):
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def masked_softmax_xent_fused(logits, labels, mask, num_samples):
     """Fused (mean CE loss, accuracy) over the masked rows — drop-in for
-    ops.loss.masked_softmax_xent on TPU. Accuracy ties (truth == max) count
-    correct, same as the XLA path. Padded rows must carry mask=False (split
+    ops.loss.masked_softmax_xent on TPU. Accuracy uses the truth == row-max
+    test — safe HERE because the kernel reads one VMEM materialization of the
+    block (unlike the XLA graph, where recomputation makes the trick unsound;
+    see ops.loss). Differs from the XLA path's argmax only on exact logit
+    ties. Padded rows must carry mask=False (split
     padding is 0). ``num_samples`` is a static Python int (per-split count)."""
     parts, _ = _ce_call(logits, labels, mask, num_samples, write_grad=False)
     denom = jnp.float32(num_samples)

@@ -37,6 +37,14 @@ class ShardedGraph:
     device ``(d - s) mod n_dev`` — the block device ``d`` is holding at ring
     step ``s`` of the ``ppermute`` rotation. ``col`` is then the source index
     *within that block* (source node id mod n_local).
+
+    Boundary layout (``send_idx is not None``): ``col`` indexes the COMPACT
+    per-device halo buffer ``[x_local ; all_to_all-received rows]`` instead of
+    the all-gathered matrix — device d fetches ONLY the remote rows its edges
+    reference (train_parallel._halo_buffer). ``send_idx[d]`` lists, in
+    ``n_dev`` chunks of ``halo_size``, the local row ids device d sends to
+    each peer. Peak per-device feature memory drops from O(N·F) to
+    O((n_local + n_dev·halo_size)·F).
     """
 
     row_local: np.ndarray  # int32 [n_dev, e_local] | [n_dev, n_dev, e_slab]
@@ -47,10 +55,21 @@ class ShardedGraph:
     n_real_nodes: int
     n_real_edges: int
     ring: bool = False
+    send_idx: np.ndarray | None = None  # int32 [n_dev, n_dev*halo_size]
+    halo_size: int = 0  # rows per (src-device, dst-device) exchange slab
 
     @property
     def n_nodes_pad(self) -> int:
         return self.n_dev * self.n_local
+
+    @property
+    def n_buf(self) -> int:
+        """Rows of the per-device source-feature buffer the column indices
+        resolve against: the full gathered matrix (all_gather halo) or the
+        compact local+halo buffer (boundary halo)."""
+        if self.send_idx is not None:
+            return self.n_local + self.n_dev * self.halo_size
+        return self.n_nodes_pad
 
 
 def _slice_coo_by_dest(rows, cols, vals, n_dev, n_local, n_pad):
@@ -73,12 +92,70 @@ def _slice_coo_by_dest(rows, cols, vals, n_dev, n_local, n_pad):
     return row_s, col_s, val_s
 
 
-def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph:
+def _build_boundary_exchange(needed, n_dev, n_local, block: int = 1):
+    """Build the all_to_all send schedule for a boundary halo.
+
+    ``needed[d][b]``: int64 array of GLOBAL row ids (owned by device b, b≠d)
+    that device d must fetch, in the order they will occupy d's halo slab for
+    b (callers that mix block- and row-granular requests put the blocks first
+    so block starts stay ``block``-aligned). Returns ``(send_idx, H)`` where
+    ``H`` is the per-(src,dst) slab size (max request length, rounded up to a
+    multiple of ``block``) and ``send_idx[b]`` holds, in ``n_dev`` chunks of
+    ``H``, the LOCAL row ids device b sends to each destination d (chunk d).
+    Padding slots send local row 0 — receivers never index padded positions.
+    """
+    H = 1
+    for d in range(n_dev):
+        for b in range(n_dev):
+            H = max(H, len(needed[d][b]))
+    H = pad_to_multiple(H, block)
+    send_idx = np.zeros((n_dev, n_dev * H), np.int32)
+    for b in range(n_dev):
+        for d in range(n_dev):
+            req = np.asarray(needed[d][b], dtype=np.int64)
+            if len(req):
+                send_idx[b, d * H : d * H + len(req)] = req - b * n_local
+    return send_idx, H
+
+
+def _remap_cols_boundary(col_s, val_s, n_dev, n_local):
+    """Row-granular boundary remap for flat COO slabs: compute each device's
+    remote boundary set from its live columns, and rewrite ``col`` to index
+    the compact ``[local ; halo]`` buffer. Returns (col_new, send_idx, H)."""
+    needed = [[np.empty(0, np.int64)] * n_dev for _ in range(n_dev)]
+    for d in range(n_dev):
+        g = col_s[d].astype(np.int64)[val_s[d] != 0]
+        owner = g // n_local
+        for b in range(n_dev):
+            if b != d:
+                needed[d][b] = np.unique(g[owner == b])
+    send_idx, H = _build_boundary_exchange(needed, n_dev, n_local)
+    col_new = np.zeros_like(col_s)
+    for d in range(n_dev):
+        g = col_s[d].astype(np.int64)
+        owner = g // n_local
+        res = np.zeros(len(g), np.int64)
+        local = owner == d
+        res[local] = g[local] - d * n_local
+        for b in range(n_dev):
+            m = (~local) & (owner == b)
+            if m.any():
+                res[m] = n_local + b * H + np.searchsorted(needed[d][b], g[m])
+        res[val_s[d] == 0] = 0  # padding edges: val 0, point at local row 0
+        col_new[d] = res.astype(np.int32)
+    return col_new, send_idx, H
+
+
+def partition_graph(
+    csr: HostCSR, n_dev: int, node_pad: int = 8, boundary: bool = False
+) -> ShardedGraph:
     """Split a host CSR into ``n_dev`` contiguous row blocks.
 
     Rows are padded so every device owns the same number (a multiple of
     ``node_pad``); edge slabs are padded to the max per-device count rounded
-    to 128.
+    to 128. ``boundary=True`` precomputes the per-device boundary index sets
+    and rewrites columns against the compact local+halo buffer (SURVEY.md
+    §7.7's halo design; pairs with train_parallel's all_to_all exchange).
     """
     n_local = pad_to_multiple(-(-csr.n_rows // n_dev), node_pad)
     n_pad = n_local * n_dev
@@ -88,6 +165,10 @@ def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph
         csr.row_ids(), csr.indices, csr.values, n_dev, n_local, n_pad
     )
 
+    send_idx, halo = None, 0
+    if boundary:
+        col, send_idx, halo = _remap_cols_boundary(col, val, n_dev, n_local)
+
     return ShardedGraph(
         row_local=row_local,
         col=col,
@@ -96,6 +177,8 @@ def partition_graph(csr: HostCSR, n_dev: int, node_pad: int = 8) -> ShardedGraph
         n_local=n_local,
         n_real_nodes=csr.n_rows,
         n_real_edges=csr.nnz,
+        send_idx=send_idx,
+        halo_size=halo,
     )
 
 
@@ -174,10 +257,130 @@ class HybridShardedGraph:
     # residual values 1 — scale-before-gather keeps ONE collective. None for
     # value (f32/bf16) packs.
     sym_scale: np.ndarray | None = None
+    # boundary halo (see ShardedGraph): when set, tcol/res_col index the
+    # compact [local ; halo] buffer; halo slabs are tile_c-aligned so fetched
+    # tile-column blocks stay whole and the Pallas kernel addresses them
+    # directly.
+    send_idx: np.ndarray | None = None  # int32 [n_dev, n_dev*halo_size]
+    halo_size: int = 0
+    # slab-balancing node permutation (new_global_row -> old_global_row),
+    # applied in whole tile_c blocks so tile contents move intact; None when
+    # the natural order was already balanced. Callers must permute node-keyed
+    # arrays (features/labels/split) the same way — shard_dataset does.
+    node_perm: np.ndarray | None = None
 
     @property
     def n_nodes_pad(self) -> int:
         return self.n_dev * self.n_local
+
+    @property
+    def n_buf(self) -> int:
+        if self.send_idx is not None:
+            return self.n_local + self.n_dev * self.halo_size
+        return self.n_nodes_pad
+
+
+def _balance_block_perm(g_trow, n_blocks, blocks_per_dev, n_dev, rpt,
+                        threshold: float = 1.2):
+    """Greedy LPT assignment of tile_c-sized NODE blocks to devices so the
+    per-device tile counts flatten (every device pads its slab to the max —
+    imbalance is redundant zero-tile compute AND memory on every chip).
+
+    ``g_trow``: global tile-row ids of the pack (tile_r granularity); ``rpt``
+    = tile-rows per node block (tile_c // tile_r). Each device receives
+    exactly ``blocks_per_dev`` blocks (static shapes), chosen to minimize the
+    max summed tile weight. Returns block_perm (new_block -> old_block) or
+    None when the natural contiguous order is already within ``threshold``.
+    """
+    w = np.bincount(g_trow // rpt, minlength=n_blocks).astype(np.int64)
+    cur = w.reshape(n_dev, blocks_per_dev).sum(axis=1)
+    if cur.max() <= threshold * max(cur.mean(), 1.0):
+        return None
+    order = np.argsort(-w, kind="stable")
+    loads = np.zeros(n_dev, np.int64)
+    caps = np.full(n_dev, blocks_per_dev, np.int64)
+    assign = np.empty(n_blocks, np.int64)
+    for blk in order:
+        open_devs = np.flatnonzero(caps > 0)
+        d = open_devs[np.argmin(loads[open_devs])]
+        assign[blk] = d
+        loads[d] += w[blk]
+        caps[d] -= 1
+    # device-major layout; within a device keep ascending old block ids (the
+    # community/RCM locality inside each slab survives)
+    return np.concatenate([np.flatnonzero(assign == d) for d in range(n_dev)])
+
+
+def _hybrid_boundary(tiles, trow, tcol, res_col, res_val, n_dev, n_local,
+                     tile_c):
+    """Boundary exchange for hybrid slabs: device d fetches only the remote
+    tile-column BLOCKS its tiles touch (whole, tile_c-aligned — the Pallas
+    kernel addresses x by block id) plus the remote residual source ROWS not
+    already inside a fetched block. Rewrites ``tcol``/``res_col`` in place to
+    buffer coordinates; returns (send_idx, halo_size)."""
+    Bl = n_local // tile_c
+    blocks_req = [[None] * n_dev for _ in range(n_dev)]
+    rows_req = [[None] * n_dev for _ in range(n_dev)]
+    needed = [[np.empty(0, np.int64)] * n_dev for _ in range(n_dev)]
+    for d in range(n_dev):
+        # zero tiles (slab padding + coverage tiles) contribute nothing: point
+        # them at the device's own first block so they never inflate the halo
+        zero = ~tiles[d].reshape(tiles[d].shape[0], -1).any(axis=1)
+        tcol[d][zero] = d * Bl
+        blk = np.unique(tcol[d].astype(np.int64))
+        g = res_col[d].astype(np.int64)[res_val[d] != 0]
+        for b in range(n_dev):
+            if b == d:
+                continue
+            bb = blk[blk // Bl == b]
+            rr = np.unique(g[g // n_local == b])
+            rr = rr[~np.isin(rr // tile_c, bb)]
+            blocks_req[d][b] = bb
+            rows_req[d][b] = rr
+            needed[d][b] = np.concatenate([
+                (bb[:, None] * tile_c + np.arange(tile_c)).reshape(-1), rr,
+            ])
+    send_idx, H = _build_boundary_exchange(needed, n_dev, n_local, block=tile_c)
+    for d in range(n_dev):
+        t = tcol[d].astype(np.int64)
+        owner = t // Bl
+        local = owner == d
+        new_t = np.zeros_like(t)
+        new_t[local] = t[local] - d * Bl
+        for b in range(n_dev):
+            m = (~local) & (owner == b)
+            if m.any():
+                new_t[m] = (n_local + b * H) // tile_c + np.searchsorted(
+                    blocks_req[d][b], t[m]
+                )
+        tcol[d] = new_t.astype(np.int32)
+
+        g = res_col[d].astype(np.int64)
+        owner = g // n_local
+        local = owner == d
+        new_g = np.zeros_like(g)
+        new_g[local] = g[local] - d * n_local
+        for b in range(n_dev):
+            m = (~local) & (owner == b)
+            if not m.any():
+                continue
+            bb, rr = blocks_req[d][b], rows_req[d][b]
+            gm = g[m]
+            in_blk = np.isin(gm // tile_c, bb)
+            base = n_local + b * H
+            res = np.empty(len(gm), np.int64)
+            res[in_blk] = (
+                base
+                + np.searchsorted(bb, gm[in_blk] // tile_c) * tile_c
+                + gm[in_blk] % tile_c
+            )
+            res[~in_blk] = (
+                base + len(bb) * tile_c + np.searchsorted(rr, gm[~in_blk])
+            )
+            new_g[m] = res
+        new_g[res_val[d] == 0] = 0  # padding edges point at local row 0
+        res_col[d] = new_g.astype(np.int32)
+    return send_idx, H
 
 
 def partition_graph_hybrid(
@@ -189,6 +392,8 @@ def partition_graph_hybrid(
     tile_dtype=np.float32,
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     min_tile_nnz: int | None = None,
+    boundary: bool = False,
+    balance: bool = True,
 ) -> HybridShardedGraph:
     """Tile-accelerated row-block partition.
 
@@ -197,6 +402,15 @@ def partition_graph_hybrid(
     tile-row-block boundaries; every device gets the same static tile count
     (zero tiles pad the shorter slabs). The residual COO is sliced per dest
     device like ``partition_graph``.
+
+    ``balance=True`` (default) applies a symmetric whole-block node
+    permutation (tile_c granularity — tile contents move intact, Â stays
+    symmetric) when the natural order concentrates tiles on few devices
+    (e.g. the community order's hubs-first leading block); the permutation is
+    returned as ``node_perm`` and shard_dataset applies it to node-keyed
+    arrays. ``boundary=True`` additionally precomputes the boundary exchange
+    so the aggregation fetches only referenced remote blocks/rows instead of
+    all-gathering the full feature matrix.
     """
     from parallel_gcn_tpu.data.graph import split_dense_tiles
     from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
@@ -231,6 +445,36 @@ def partition_graph_hybrid(
     g_trow = np.asarray(pack.tile_rows)
     g_tcol = np.asarray(pack.tile_cols)
     g_tiles = np.asarray(pack.tiles)
+    r_rows = rows[~in_tiles].astype(np.int64)
+    r_cols = cols[~in_tiles].astype(np.int64)
+    r_vals = vals[~in_tiles]
+    if sym_scale is not None:
+        # int8 mode: residual values become the 0/1 indicator — the residual
+        # rides the same d-scaled features as the tile slabs (one gather)
+        r_vals = (r_vals != 0).astype(np.float32)
+
+    node_perm = None
+    rpt = tile_c // tile_r  # tile-rows per node block
+    if balance and n_dev > 1:
+        block_perm = _balance_block_perm(
+            g_trow, n_pad // tile_c, n_local // tile_c, n_dev, rpt
+        )
+        if block_perm is not None:
+            inv = np.empty_like(block_perm)
+            inv[block_perm] = np.arange(len(block_perm))
+            g_trow = (inv[g_trow // rpt] * rpt + g_trow % rpt).astype(np.int32)
+            g_tcol = inv[g_tcol].astype(np.int32)
+            o = np.argsort(g_trow, kind="stable")
+            g_trow, g_tcol, g_tiles = g_trow[o], g_tcol[o], g_tiles[o]
+            remap = lambda g: inv[g // tile_c] * tile_c + g % tile_c
+            r_rows, r_cols = remap(r_rows), remap(r_cols)
+            o = np.argsort(r_rows, kind="stable")
+            r_rows, r_cols, r_vals = r_rows[o], r_cols[o], r_vals[o]
+            node_perm = (
+                block_perm[:, None] * tile_c + np.arange(tile_c)
+            ).reshape(-1)
+            if sym_scale is not None:
+                sym_scale = np.asarray(sym_scale)[node_perm]
 
     rows_per_dev = n_local // tile_r
     dev_of_tile = g_trow // rows_per_dev
@@ -239,15 +483,15 @@ def partition_graph_hybrid(
     mean_t = max(counts.mean(), 1.0)
     if T > 1.5 * mean_t:
         # every device is padded to the max slab (SPMD static shapes), so a
-        # hot row block (e.g. a hubs-first leading block) turns imbalance
-        # into redundant zero-tile work AND memory on every chip
+        # hot row block turns imbalance into redundant zero-tile work AND
+        # memory on every chip. With balance=True this fires only when even
+        # the LPT block assignment cannot flatten the load (single huge block)
         import warnings
 
         warnings.warn(
             f"hybrid partition tile imbalance: max {T} vs mean {mean_t:.0f} "
-            f"tiles/device — all devices pad to {T}. A flatter node order "
-            "(e.g. rcm, or community order without the hubs-first block) "
-            "balances the slabs.",
+            f"tiles/device — all devices pad to {T}."
+            + ("" if balance else " Set balance=True to spread hot blocks."),
             stacklevel=2,
         )
     tiles = np.zeros((n_dev, T, tile_r, tile_c), dtype=g_tiles.dtype)
@@ -260,15 +504,16 @@ def partition_graph_hybrid(
         trow[d, :k] = g_trow[sel] - d * rows_per_dev  # sorted ascending; pads
         tcol[d, :k] = g_tcol[sel]                      # (= last row) keep order
 
-    # residual: per-dest-device slabs, global source cols (row-sorted subset).
-    # int8 mode: residual values become the 0/1 indicator — the residual rides
-    # the same d-scaled features as the tile slabs (one gather, exact)
-    rvals = vals[~in_tiles]
-    if sym_scale is not None:
-        rvals = (rvals != 0).astype(np.float32)
+    # residual: per-dest-device slabs, global source cols (row-sorted subset)
     res_row, res_col, res_val = _slice_coo_by_dest(
-        rows[~in_tiles], cols[~in_tiles], rvals, n_dev, n_local, n_pad
+        r_rows, r_cols, r_vals, n_dev, n_local, n_pad
     )
+
+    send_idx, halo = None, 0
+    if boundary:
+        send_idx, halo = _hybrid_boundary(
+            tiles, trow, tcol, res_col, res_val, n_dev, n_local, tile_c
+        )
 
     return HybridShardedGraph(
         tiles=tiles, trow=trow, tcol=tcol,
@@ -276,5 +521,6 @@ def partition_graph_hybrid(
         n_dev=n_dev, n_local=n_local,
         n_real_nodes=csr.n_rows, n_real_edges=csr.nnz,
         sym_scale=None if sym_scale is None else
-        sym_scale[: n_pad].reshape(n_dev, n_local),
+        np.asarray(sym_scale)[: n_pad].reshape(n_dev, n_local),
+        send_idx=send_idx, halo_size=halo, node_perm=node_perm,
     )

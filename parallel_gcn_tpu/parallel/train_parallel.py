@@ -39,7 +39,9 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
     """Pad host arrays to the sharded node count; returns numpy arrays shaped
-    for row-sharding over the mesh."""
+    for row-sharding over the mesh. Applies the partition's slab-balancing
+    node permutation when present (partition_graph_hybrid balance=True) so
+    node-keyed arrays line up with the permuted graph layout."""
     n_pad = sgraph.n_nodes_pad
     x = np.zeros((n_pad, ds.input_dim), dtype=np.float32)
     x[: ds.n_nodes] = ds.features
@@ -47,114 +49,151 @@ def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
     labels[: ds.n_nodes] = ds.labels
     split = np.zeros(n_pad, dtype=np.int32)
     split[: ds.n_nodes] = ds.split
+    perm = getattr(sgraph, "node_perm", None)
+    if perm is not None:
+        x, labels, split = x[perm], labels[perm], split[perm]
     return x, labels, split
 
 
-def graphsum_dist(x_local, row_local, col_global, val, n_local, axis=AXIS):
-    """Distributed Â·x, all_gather halo: gather ALL remote source features over
-    ICI at once, aggregate the local rows' edges. Simple and fast while the
-    full gathered feature matrix fits HBM; XLA overlaps the collective with the
-    preceding matmul.
-    """
-    x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
-    gathered = val[:, None].astype(x_local.dtype) * x_full[col_global]
+def _halo_buffer(x_local, send_idx, axis):
+    """Boundary halo exchange: each device sends to each peer exactly the
+    local rows that peer's edges/tile-columns reference (send_idx, built at
+    partition time), via one all_to_all over ICI. Returns the compact
+    ``[x_local ; received halo rows]`` buffer that the partition's remapped
+    column indices resolve against — peak per-device feature memory is
+    O(n_local + n_dev·halo) instead of the all_gather's O(N)."""
+    send = jnp.take(x_local, send_idx, axis=0)
+    halo = jax.lax.all_to_all(
+        send, axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    return jnp.concatenate([x_local, halo], axis=0)
+
+
+def _gather_buffer(x_local, send_idx, axis):
+    if send_idx is None:
+        return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    return _halo_buffer(x_local, send_idx, axis)
+
+
+def graphsum_dist(x_local, row_local, col, val, n_local, axis=AXIS,
+                  send_idx=None):
+    """Distributed Â·x over row-sharded features.
+
+    ``send_idx=None`` (all_gather halo): gather ALL remote source features
+    over ICI at once; ``col`` carries global node ids. Simple and fast while
+    the full gathered matrix fits HBM; XLA overlaps the collective with the
+    preceding matmul. With ``send_idx`` (boundary halo,
+    partition_graph(boundary=True)): exchange only referenced boundary rows
+    via all_to_all; ``col`` indexes the compact local+halo buffer. Autodiff
+    transposes both variants correctly (take→scatter-add, all_to_all reverses,
+    all_gather→psum-scatter)."""
+    x_buf = _gather_buffer(x_local, send_idx, axis)
+    gathered = val[:, None].astype(x_local.dtype) * x_buf[col]
     return jax.ops.segment_sum(
         gathered, row_local, num_segments=n_local, indices_are_sorted=True
     )
 
 
-def _agg_hybrid_impl(x_local, tiles, trow, tcol, rrow, rcol, rval,
-                     n_local, n_pad, axis):
+def _agg_hybrid_impl(x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+                     n_local, n_buf, axis):
     from parallel_gcn_tpu.ops.pallas_bcsr import BCSR, bcsr_matmul_rect
 
-    x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    x_buf = _gather_buffer(x_local, send_idx, axis)
     pack = BCSR(
         tiles=tiles, tile_rows=trow, tile_cols=tcol,
-        n_nodes=n_pad, n_tiles_real=tiles.shape[0], n_rows=n_local,
+        n_nodes=n_buf, n_tiles_real=tiles.shape[0], n_rows=n_local,
     )
-    out = bcsr_matmul_rect(pack, x_full).astype(x_local.dtype)
-    gathered = rval[:, None].astype(x_local.dtype) * x_full[rcol]
+    out = bcsr_matmul_rect(pack, x_buf).astype(x_local.dtype)
+    gathered = rval[:, None].astype(x_local.dtype) * x_buf[rcol]
     return out + jax.ops.segment_sum(
         gathered, rrow, num_segments=n_local, indices_are_sorted=True
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def graphsum_dist_hybrid(x_local, tiles, trow, tcol, rrow, rcol, rval,
-                         n_local, n_pad, axis=AXIS):
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def graphsum_dist_hybrid(x_local, send_idx, tiles, trow, tcol, rrow, rcol,
+                         rval, n_local, n_buf, axis=AXIS):
     """Distributed Â·x with per-device MXU tile slabs + COO residual
-    (partition.HybridShardedGraph), all_gather halo.
+    (partition.HybridShardedGraph); halo = all_gather (send_idx None) or the
+    boundary all_to_all exchange (send_idx from the partition). ``n_buf`` is
+    the per-device source-buffer row count (sgraph.n_buf).
 
     Self-adjoint at the collective level: the GLOBAL matrix is symmetric, so
     d/dx restricted to device d's rows is the SAME operation applied to the
-    gathered cotangent (dx_d = slab_d · all_gather(g)) — no transposed tile
+    exchanged cotangent (dx_d = slab_d · halo(g)) — no transposed tile
     pack, mirroring the single-chip symmetric-Â shortcut
-    (src/module.cu:188-208) across the mesh.
+    (src/module.cu:188-208) across the mesh. This holds for the boundary halo
+    too: the cotangent is row-sharded exactly like x, and sum_b A[b,d]ᵀ·g_b =
+    sum_b A[d,b]·g_b = (Â·g) on d's rows.
     """
     return _agg_hybrid_impl(
-        x_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+        x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
     )
 
 
-def _agg_hybrid_fwd(x_local, tiles, trow, tcol, rrow, rcol, rval,
-                    n_local, n_pad, axis):
+def _agg_hybrid_fwd(x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+                    n_local, n_buf, axis):
     out = _agg_hybrid_impl(
-        x_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+        x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
     )
-    return out, (tiles, trow, tcol, rrow, rcol, rval)
+    return out, (send_idx, tiles, trow, tcol, rrow, rcol, rval)
 
 
-def _agg_hybrid_bwd(n_local, n_pad, axis, res, g):
-    tiles, trow, tcol, rrow, rcol, rval = res
+def _agg_hybrid_bwd(n_local, n_buf, axis, res, g):
+    send_idx, tiles, trow, tcol, rrow, rcol, rval = res
     dx = _agg_hybrid_impl(
-        g, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+        g, send_idx, tiles, trow, tcol, rrow, rcol, rval, n_local, n_buf, axis
     )
-    return dx, None, None, None, None, None, None
+    return dx, None, None, None, None, None, None, None
 
 
 graphsum_dist_hybrid.defvjp(_agg_hybrid_fwd, _agg_hybrid_bwd)
 
 
-def _agg_hybrid_scaled_impl(x_local, d_local, tiles, trow, tcol, rrow, rcol,
-                            rval, n_local, n_pad, axis):
-    # int8 pattern slabs: scale BEFORE the gather (ag(d_loc ⊙ x) == d ⊙ ag(x),
-    # one collective), aggregate the 0/1 tiles + unit-valued residual, scale
-    # the local output rows — exactly d ⊙ B (d ⊙ x) = Â·x per local slab.
+def _agg_hybrid_scaled_impl(x_local, d_local, send_idx, tiles, trow, tcol,
+                            rrow, rcol, rval, n_local, n_buf, axis):
+    # int8 pattern slabs: scale BEFORE the exchange (halo(d_loc ⊙ x) ==
+    # d ⊙ halo(x) row-wise, one collective), aggregate the 0/1 tiles +
+    # unit-valued residual, scale the local output rows — exactly
+    # d ⊙ B (d ⊙ x) = Â·x per local slab.
     xs = (d_local[:, None] * x_local.astype(jnp.float32)).astype(x_local.dtype)
     out = _agg_hybrid_impl(
-        xs, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+        xs, send_idx, tiles, trow, tcol, rrow, rcol, rval, n_local, n_buf, axis
     )
     return (d_local[:, None] * out).astype(out.dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def graphsum_dist_hybrid_scaled(x_local, d_local, tiles, trow, tcol, rrow,
-                                rcol, rval, n_local, n_pad, axis=AXIS):
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def graphsum_dist_hybrid_scaled(x_local, d_local, send_idx, tiles, trow, tcol,
+                                rrow, rcol, rval, n_local, n_buf, axis=AXIS):
     """graphsum_dist_hybrid for int8 PATTERN slabs (partition_graph_hybrid
     with tile_dtype=int8): tiles hold the exact 0/1 structure, residual values
     are 1, and d (= deg^{-1/2}, row-sharded) carries the normalization.
     Self-adjoint like the value version: diag(d)·B·diag(d) is symmetric."""
     return _agg_hybrid_scaled_impl(
-        x_local, d_local, tiles, trow, tcol, rrow, rcol, rval,
-        n_local, n_pad, axis,
+        x_local, d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
     )
 
 
-def _agg_hybrid_scaled_fwd(x_local, d_local, tiles, trow, tcol, rrow, rcol,
-                           rval, n_local, n_pad, axis):
+def _agg_hybrid_scaled_fwd(x_local, d_local, send_idx, tiles, trow, tcol,
+                           rrow, rcol, rval, n_local, n_buf, axis):
     out = _agg_hybrid_scaled_impl(
-        x_local, d_local, tiles, trow, tcol, rrow, rcol, rval,
-        n_local, n_pad, axis,
+        x_local, d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
     )
-    return out, (d_local, tiles, trow, tcol, rrow, rcol, rval)
+    return out, (d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval)
 
 
-def _agg_hybrid_scaled_bwd(n_local, n_pad, axis, res, g):
-    d_local, tiles, trow, tcol, rrow, rcol, rval = res
+def _agg_hybrid_scaled_bwd(n_local, n_buf, axis, res, g):
+    d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval = res
     dx = _agg_hybrid_scaled_impl(
-        g, d_local, tiles, trow, tcol, rrow, rcol, rval, n_local, n_pad, axis
+        g, d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
     )
-    return dx, None, None, None, None, None, None, None
+    return dx, None, None, None, None, None, None, None, None
 
 
 graphsum_dist_hybrid_scaled.defvjp(_agg_hybrid_scaled_fwd, _agg_hybrid_scaled_bwd)
@@ -211,11 +250,21 @@ def _masked_ce_local(logits_local, labels_local, mask_local, num_samples,
 
 
 def _make_forward(cfg: Config, sgraph):
-    """Shared sharded forward used by the train step and eval fns.
+    """Shared sharded forward used by the train step, eval fns, and the fused
+    whole-run program. Returns a namespace with:
+
+    - ``aggregate(h, graph_args)`` — one distributed Â·h
+    - ``forward(weights, x_local, graph_args, training, key, preagg=False)``
+      — the full sharded GCN forward; ``preagg=True`` skips layer 0's
+      aggregation (x_local already holds Â·X, see train.preaggregate_input)
+    - ``forward_stacked(weights, x_local, x_eval_local, graph_args, dkey,
+      train_preagg, eval_preagg)`` — train forward + DEFERRED eval forward
+      with the last aggregation stacked along the lane dimension (the mesh
+      port of train._fused_deferred_forward; same validity conditions)
 
     ``graph_args`` is the per-device tuple of graph arrays: (rowl, colg, val)
     for COO partitions (flat or ring) or (tiles, trow, tcol, rrow, rcol, rval)
-    for the hybrid tile partition.
+    for the hybrid tile partition — plus sym_scale/send_idx per _graph_specs.
     """
     dropouts = tuple(cfg.gcn.dropouts)
     n_layers = cfg.gcn.n_layers
@@ -223,37 +272,47 @@ def _make_forward(cfg: Config, sgraph):
     n_dev = sgraph.n_dev
     hybrid = isinstance(sgraph, HybridShardedGraph)
     ring = (not hybrid) and sgraph.ring
-    n_pad = sgraph.n_nodes_pad
+    n_buf = sgraph.n_buf
+    boundary = sgraph.send_idx is not None
+    scaled = hybrid and sgraph.sym_scale is not None
     precision = cfg.tpu.matmul_precision
     residual = cfg.gcn.residual
     dtype = jnp.dtype(cfg.tpu.compute_dtype)
 
     def _aggregate(h, graph_args):
+        # graph_args order matches _graph_specs: base arrays, then sym_scale
+        # (int8 packs), then send_idx (boundary halo) — peel statically
+        args = list(graph_args)
+        send = args.pop() if boundary else None
         if hybrid:
-            if len(graph_args) == 7:  # (..., rval, d): int8 pattern slabs
+            if scaled:
+                d = args.pop()
                 return graphsum_dist_hybrid_scaled(
-                    h, graph_args[-1], *graph_args[:-1], n_local, n_pad
+                    h, d, send, *args, n_local, n_buf
                 )
-            return graphsum_dist_hybrid(h, *graph_args, n_local, n_pad)
+            return graphsum_dist_hybrid(h, send, *args, n_local, n_buf)
         if ring:
-            return graphsum_ring(h, *graph_args, n_local, n_dev)
-        return graphsum_dist(h, *graph_args, n_local)
+            return graphsum_ring(h, *args, n_local, n_dev)
+        return graphsum_dist(h, *args, n_local, send_idx=send)
 
-    def forward(weights, x_local, graph_args, training, key):
-        h = x_local.astype(dtype)
-        if training:
+    def _keys(key, training):
+        if training and any(d > 0 for d in dropouts):
             # per-device independent dropout masks over the local rows
             key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-            keys = jax.random.split(key, n_layers)
-        else:
-            keys = [None] * n_layers
+            return list(jax.random.split(key, n_layers))
+        return [None] * n_layers
+
+    def forward(weights, x_local, graph_args, training, key, preagg=False):
+        h = x_local.astype(dtype)
+        keys = _keys(key, training)
         prev = None
         for layer in range(n_layers):
             h = dropout(h, dropouts[layer], keys[layer], training=training)
             h = feature_transform(
                 h, weights[layer], precision=precision, out_dtype=dtype
             )
-            h = _aggregate(h, graph_args).astype(dtype)
+            if not (layer == 0 and preagg):
+                h = _aggregate(h, graph_args).astype(dtype)
             if (
                 residual
                 and 0 < layer < n_layers - 1
@@ -266,11 +325,73 @@ def _make_forward(cfg: Config, sgraph):
                 prev = h
         return h.astype(jnp.float32)
 
-    return forward
+    def forward_stacked(weights, x_local, x_eval_local, graph_args, dkey,
+                        train_preagg, eval_preagg):
+        # mesh port of train._fused_deferred_forward: the last layer's
+        # aggregation is only n_classes wide — train and (deferred) eval
+        # logits stacked side-by-side ride ONE aggregation (and, under the
+        # halo designs, ONE collective) at the same hardware cost. Valid only
+        # on the static-epoch schedule; caller realigns val metrics by one.
+        L = n_layers
+        keys = _keys(dkey, True)
+
+        def prefix(h, training, preagg):
+            prev = None
+            for layer in range(L - 1):
+                h = dropout(
+                    h, dropouts[layer],
+                    keys[layer] if training else None, training=training,
+                )
+                h = feature_transform(
+                    h, weights[layer], precision=precision, out_dtype=dtype
+                )
+                if not (layer == 0 and preagg):
+                    h = _aggregate(h, graph_args).astype(dtype)
+                if (
+                    residual
+                    and 0 < layer < L - 1
+                    and prev is not None
+                    and prev.shape == h.shape
+                ):
+                    h = h + prev
+                h = jax.nn.relu(h)
+                prev = h
+            return h
+
+        share = (
+            all(d == 0 for d in dropouts[: L - 1])
+            and train_preagg == eval_preagg
+        )
+        ht = prefix(x_local.astype(dtype), True, train_preagg)
+        he = ht if share else prefix(
+            x_eval_local.astype(dtype), False, eval_preagg
+        )
+        at = dropout(ht, dropouts[L - 1], keys[L - 1], training=True)
+        at = feature_transform(at, weights[L - 1], precision=precision,
+                               out_dtype=dtype)
+        ae = feature_transform(he, weights[L - 1], precision=precision,
+                               out_dtype=dtype)
+        n_classes = at.shape[1]
+        stacked = _aggregate(jnp.concatenate([at, ae], axis=1), graph_args)
+        return (
+            stacked[:, :n_classes].astype(jnp.float32),
+            stacked[:, n_classes:].astype(jnp.float32),
+        )
+
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        forward=forward, aggregate=_aggregate, forward_stacked=forward_stacked,
+        n_layers=n_layers,
+    )
 
 
 def _graph_specs(sgraph):
-    """(in_specs tuple, array tuple) for the partition's graph arrays."""
+    """(in_specs tuple, array tuple) for the partition's graph arrays.
+
+    Order contract (mirrored by _make_forward._aggregate): base arrays, then
+    sym_scale when present (int8 packs), then send_idx when present (boundary
+    halo)."""
     if isinstance(sgraph, HybridShardedGraph):
         arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
@@ -285,6 +406,9 @@ def _graph_specs(sgraph):
     else:
         arrays = (sgraph.row_local, sgraph.col, sgraph.val)
         specs = (P(AXIS, None),) * 3
+    if sgraph.send_idx is not None:
+        arrays = arrays + (sgraph.send_idx,)
+        specs = specs + (P(AXIS, None),)
     return specs, arrays
 
 
@@ -305,7 +429,7 @@ def make_parallel_epoch_step(
     wd = adam.weight_decay
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
-    forward = _make_forward(cfg, sgraph)
+    forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(sgraph)
 
     def step(weights, opt_state, key, x_local, labels_local, split_local,
@@ -358,20 +482,23 @@ def make_parallel_eval_fn(
     sgraph: ShardedGraph,
     split_counts: dict,
     split: int,
+    preagg: bool = False,
 ):
     """Jitted multi-chip eval on one split: (weights, *inputs) -> (loss, acc).
 
     Counterpart of GCN::eval (src/gcn.cu:293-303) over the node-partitioned
     graph; loss includes the wd*||W0||^2/2 term like finalize
-    (src/gcn.cu:440-455)."""
+    (src/gcn.cu:440-455). ``preagg=True``: x_local already holds Â·X and
+    layer 0's aggregation is skipped."""
     wd = cfg.adam.weight_decay
     n = split_counts[split]
-    forward = _make_forward(cfg, sgraph)
+    forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(sgraph)
 
     def eval_step(weights, x_local, labels_local, split_local, *graph_args):
         graph_args = tuple(a[0] for a in graph_args)
-        logits = forward(weights, x_local, graph_args, False, None)
+        logits = forward(weights, x_local, graph_args, False, None,
+                         preagg=preagg)
         ce, acc = _masked_ce_local(logits, labels_local, split_local == split, n)
         loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
         return loss, acc
@@ -390,6 +517,208 @@ def make_parallel_eval_fn(
     return jax.jit(sharded)
 
 
+def make_preagg_fn(cfg: Config, mesh: Mesh, sgraph):
+    """One sharded Â·X pass for the input pre-aggregation hoist — the mesh
+    counterpart of train.preaggregate_input (exact reassociation:
+    Â·(X·W0) = (Â·X)·W0 with zero input dropout; eval side always)."""
+    pm = _make_forward(cfg, sgraph)
+    graph_specs, _ = _graph_specs(sgraph)
+
+    def f(x_local, *graph_args):
+        graph_args = tuple(a[0] for a in graph_args)
+        return pm.aggregate(x_local, graph_args)
+
+    return jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P(AXIS, None), *graph_specs),
+        out_specs=P(AXIS, None), check_vma=False,
+    ))
+
+
+def make_parallel_run(
+    cfg: Config,
+    mesh: Mesh,
+    sgraph: ShardedGraph,
+    split_counts: dict,
+    train_preagg: bool = False,
+    eval_preagg: bool = False,
+):
+    """Fused multi-chip whole-run program — the mesh port of
+    train._make_scan_run: ONE jitted shard_map contains the entire epoch loop
+    (lax.scan on the static schedule, lax.while_loop with ON-DEVICE early
+    stopping otherwise), so a full training run makes ZERO per-epoch
+    host↔device round-trips (the eager parallel path pays one metrics D2H per
+    epoch). On the static schedule the deferred-eval lane stacking rides
+    train+eval logits through ONE last aggregation — which under the halo
+    designs also halves the epoch's last-layer collectives.
+
+    Signature: (weights, opt, key, x_train, x_eval, labels, split, *graph) ->
+               (weights', opt', metrics[epochs, 4], epochs_run)
+    where x_train/x_eval are row-sharded (pre-aggregated per the
+    train_preagg/eval_preagg flags) and metrics/epochs_run are replicated.
+    """
+    adam = cfg.adam
+    wd = adam.weight_decay
+    epochs = cfg.gcn.epochs
+    k = cfg.gcn.early_stopping
+    if k > epochs:
+        # the stopping test (epoch+1 >= k) can never fire — and the k-sized
+        # window would not fit the epochs-sized history buffer
+        k = 0
+    n_train = split_counts[TRAIN]
+    n_val = split_counts[VAL]
+    pm = _make_forward(cfg, sgraph)
+    graph_specs, _ = _graph_specs(sgraph)
+
+    def run(weights, opt_state, key, x_local, x_eval_local, labels_local,
+            split_local, *graph_args):
+        graph_args = tuple(a[0] for a in graph_args)
+        train_mask = split_local == TRAIN
+        val_mask = split_local == VAL
+
+        def pen(w0):
+            return jnp.float32(wd) * l2_penalty(w0) / 2.0
+
+        def take_adam_step(weights, grads, opt_state):
+            return adam_step(
+                weights, grads, opt_state,
+                learning_rate=adam.learning_rate, weight_decay=wd,
+                beta1=adam.beta1, beta2=adam.beta2, eps=adam.eps,
+            )
+
+        def eval_val(weights):
+            logits = pm.forward(
+                weights, x_eval_local, graph_args, False, None,
+                preagg=eval_preagg,
+            )
+            return _masked_ce_local(logits, labels_local, val_mask, n_val)
+
+        def one_epoch(weights, opt_state, key):
+            key, dkey = jax.random.split(key)
+
+            def loss_fn(w):
+                logits = pm.forward(
+                    w, x_local, graph_args, True, dkey, preagg=train_preagg
+                )
+                return _masked_ce_local(logits, labels_local, train_mask,
+                                        n_train)
+
+            (ce, train_acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(weights)
+            grads = jax.lax.psum(grads, AXIS)
+            train_loss = ce + pen(weights[0])
+            weights, opt_state = take_adam_step(weights, grads, opt_state)
+            val_ce, val_acc = eval_val(weights)
+            val_loss = val_ce + pen(weights[0])
+            return (weights, opt_state, key,
+                    train_loss, train_acc, val_loss, val_acc)
+
+        # deferred-eval fusion: valid only on the static-epoch schedule (the
+        # stopping rule needs epoch e's val loss before e+1 runs) with a
+        # last-layer aggregation to stack — same conditions as single-chip
+        fused_eval = k == 0 and epochs > 0 and pm.n_layers >= 2
+        if fused_eval:
+            def scan_body(carry, _):
+                weights, opt_state, key = carry
+                key, dkey = jax.random.split(key)
+
+                def fused_loss(w, dkey):
+                    lt, le = pm.forward_stacked(
+                        w, x_local, x_eval_local, graph_args, dkey,
+                        train_preagg, eval_preagg,
+                    )
+                    loss, acc = _masked_ce_local(lt, labels_local, train_mask,
+                                                 n_train)
+                    vce, vacc = _masked_ce_local(
+                        jax.lax.stop_gradient(le), labels_local, val_mask,
+                        n_val,
+                    )
+                    return loss, (acc, vce, vacc)
+
+                (ce, (ta, vce, vacc)), grads = jax.value_and_grad(
+                    fused_loss, has_aux=True
+                )(weights, dkey)
+                grads = jax.lax.psum(grads, AXIS)
+                # l2 of the PRE-update W0 — for the train loss by reference
+                # semantics (src/gcn.cu:314), for the val loss because these
+                # weights ARE the ones the deferred eval ran on
+                p = pen(weights[0])
+                tl = ce + p
+                vl = vce + p
+                weights, opt_state = take_adam_step(weights, grads, opt_state)
+                return (weights, opt_state, key), jnp.stack([tl, ta, vl, vacc])
+
+            (weights, opt_state, _), em = jax.lax.scan(
+                scan_body, (weights, opt_state, key), None, length=epochs
+            )
+            # em[e, 2:4] holds epoch e-1's val metrics (em[0] evaluated the
+            # initial weights — dropped); the final epoch's eval runs here
+            vce, vacc = eval_val(weights)
+            vl_fin = vce + pen(weights[0])
+            val_cols = jnp.concatenate(
+                [em[1:, 2:4], jnp.stack([vl_fin, vacc])[None, :]], axis=0
+            )
+            metrics = jnp.concatenate([em[:, :2], val_cols], axis=1)
+            return weights, opt_state, metrics, jnp.asarray(epochs, jnp.int32)
+
+        if k == 0:
+            def scan_body(carry, _):
+                weights, opt_state, key = carry
+                weights, opt_state, key, tl, ta, vl, va = one_epoch(
+                    weights, opt_state, key
+                )
+                return (weights, opt_state, key), jnp.stack([tl, ta, vl, va])
+
+            (weights, opt_state, _), metrics = jax.lax.scan(
+                scan_body, (weights, opt_state, key), None, length=epochs
+            )
+            return weights, opt_state, metrics, jnp.asarray(epochs, jnp.int32)
+
+        # early stopping: on-device while_loop, reference window rule
+        # (src/gcn.cu:377-395 — mean of last k val losses incl. current)
+        metrics0 = jnp.zeros((epochs, 4), jnp.float32)
+        hist0 = jnp.zeros((epochs,), jnp.float32)
+
+        def cond(carry):
+            _, _, _, epoch, _, _, stopped = carry
+            return jnp.logical_and(epoch < epochs, jnp.logical_not(stopped))
+
+        def body(carry):
+            weights, opt_state, key, epoch, hist, metrics, stopped = carry
+            weights, opt_state, key, tl, ta, vl, va = one_epoch(
+                weights, opt_state, key
+            )
+            metrics = jax.lax.dynamic_update_slice(
+                metrics, jnp.stack([tl, ta, vl, va])[None, :], (epoch, 0)
+            )
+            hist = hist.at[epoch].set(vl)
+            start = jnp.maximum(epoch + 1 - k, 0)
+            window = jax.lax.dynamic_slice(hist, (start,), (k,))
+            stopped = jnp.logical_and(epoch + 1 >= k, vl > jnp.mean(window))
+            return weights, opt_state, key, epoch + 1, hist, metrics, stopped
+
+        init = (weights, opt_state, key, jnp.asarray(0, jnp.int32), hist0,
+                metrics0, jnp.asarray(False))
+        weights, opt_state, _, epochs_run, _, metrics, _ = jax.lax.while_loop(
+            cond, body, init
+        )
+        return weights, opt_state, metrics, epochs_run
+
+    sharded_run = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(),  # weights, opt, key: replicated
+            P(AXIS, None), P(AXIS, None),  # x_train, x_eval: row-sharded
+            P(AXIS), P(AXIS),  # labels, split
+            *graph_specs,
+        ),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded_run, donate_argnums=(0, 1))
+
+
 def fit_parallel(
     cfg: Config,
     ds,
@@ -398,15 +727,25 @@ def fit_parallel(
     halo: str | None = None,
     key=None,
     verbose: bool | None = None,
+    resume_from: str | None = None,
 ):
     """Complete multi-chip training run — the mesh counterpart of train.fit:
     node-partition the graph, train with per-epoch val metrics and the
     reference's early-stopping rule (mean of last k val losses,
     src/gcn.cu:377-395), then evaluate the test split.
 
-    ``halo``: "all_gather" (full remote feature gather) or "ring"
-    (ppermute block rotation). Defaults from cfg.tpu.halo.
+    ``halo``: "all_gather" (full remote feature gather), "boundary"
+    (all_to_all of only the referenced remote rows/tile-blocks — memory
+    scales as N/D + halo), or "ring" (ppermute block rotation; COO backends).
+    Defaults from cfg.tpu.halo.
+
+    Feature parity with the single-chip fit: cfg.train.mode="scan" (default)
+    runs the fused whole-run program (make_parallel_run — on-device early
+    stopping, deferred-eval lane stacking, zero per-epoch host transfers),
+    input pre-aggregation applies per cfg.tpu.input_preagg, and
+    checkpoint/resume works through the same utils.checkpoint files.
     """
+    import os as _os
     import time as _time
 
     from parallel_gcn_tpu.models.gcn import init_params
@@ -433,10 +772,12 @@ def fit_parallel(
         if halo == "ring":
             raise ValueError(
                 "backend=hybrid/bcsr uses per-device tile slabs against the "
-                "all_gather halo; the ppermute ring is only available with "
-                "the COO backends (set backend=segment for halo=ring)"
+                "all_gather or boundary halo; the ppermute ring is only "
+                "available with the COO backends (set backend=segment for "
+                "halo=ring, or halo=boundary to keep the tile slabs AND "
+                "memory scaling)"
             )
-        # tile-accelerated per-device aggregation (all_gather halo)
+        # tile-accelerated per-device aggregation
         tile_dtype = cfg.tpu.tile_dtype
         if tile_dtype == "auto":
             tile_dtype = (
@@ -448,60 +789,142 @@ def fit_parallel(
             tile_dtype=np.dtype(tile_dtype),
             tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
             min_tile_nnz=cfg.tpu.min_tile_nnz or None,
+            boundary=halo == "boundary",
+            balance=cfg.tpu.balance_slabs,
         )
+    elif halo == "ring":
+        sgraph = partition_graph_ring(ds.graph, n_devices,
+                                      node_pad=cfg.tpu.node_pad)
     else:
-        part = partition_graph_ring if halo == "ring" else partition_graph
-        sgraph = part(ds.graph, n_devices, node_pad=cfg.tpu.node_pad)
+        sgraph = partition_graph(ds.graph, n_devices,
+                                 node_pad=cfg.tpu.node_pad,
+                                 boundary=halo == "boundary")
     mesh = make_mesh(n_devices)
     x, labels, split = shard_dataset(ds, sgraph)
-    inputs = device_put_sharded_inputs(mesh, sgraph, x, labels, split)
+    x_dev, labels_dev, split_dev, *graph_dev = device_put_sharded_inputs(
+        mesh, sgraph, x, labels, split
+    )
     counts = {s: int((ds.split == s).sum()) for s in (TRAIN, VAL, 3)}
-
-    step = make_parallel_epoch_step(cfg, mesh, sgraph, counts)
-    test_fn = make_parallel_eval_fn(cfg, mesh, sgraph, counts, split=3)
 
     if key is None:
         key = jax.random.PRNGKey(cfg.tpu.seed)
     key, init_key = jax.random.split(key)
-    weights = init_params(
-        init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
-    )
-    opt_state = init_adam(weights)
+    start_epoch = 0
+    if resume_from:
+        from parallel_gcn_tpu.utils.checkpoint import load_checkpoint
 
-    k = cfg.gcn.early_stopping
-    rows = []
-    t0 = _time.perf_counter()
-    for epoch in range(1, cfg.gcn.epochs + 1):
-        te = _time.perf_counter()
-        weights, opt_state, key, metrics = step(weights, opt_state, key, *inputs)
-        tl, ta, vl, va = (float(v) for v in metrics)
-        rows.append((tl, ta, vl, va))
+        weights, opt_state, start_epoch, saved_key = load_checkpoint(resume_from)
+        if saved_key is not None:
+            key = saved_key
         if verbose:
-            print(
-                f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
-                f"val_loss={vl:.5f} val_acc={va:.5f} "
-                f"time={_time.perf_counter() - te:.5f}"
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
+    else:
+        weights = init_params(
+            init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
+        )
+        opt_state = init_adam(weights)
+
+    # input pre-aggregation hoist (exact; see train.preaggregate_input):
+    # train-side when input dropout is 0, eval-side always
+    x_train_dev, x_eval_dev = x_dev, x_dev
+    train_preagg = eval_preagg = False
+    if cfg.tpu.input_preagg and cfg.gcn.n_layers >= 2:
+        x_agg = make_preagg_fn(cfg, mesh, sgraph)(x_dev, *graph_dev)
+        if jnp.dtype(cfg.tpu.compute_dtype) != jnp.float32:
+            x_agg = x_agg.astype(jnp.dtype(cfg.tpu.compute_dtype))
+        x_eval_dev, eval_preagg = x_agg, True
+        if cfg.gcn.dropouts[0] == 0.0:
+            x_train_dev, train_preagg = x_agg, True
+
+    test_fn = make_parallel_eval_fn(cfg, mesh, sgraph, counts, split=3,
+                                    preagg=eval_preagg)
+    ckpt_dir = cfg.train.checkpoint_dir
+
+    t0 = _time.perf_counter()
+    if cfg.train.mode == "scan":
+        scan_cfg = cfg
+        if start_epoch:
+            # resumed: train only the REMAINING epochs (the fused program's
+            # trip count is static)
+            import copy
+
+            scan_cfg = copy.deepcopy(cfg)
+            scan_cfg.gcn.epochs = max(cfg.gcn.epochs - start_epoch, 0)
+        run = make_parallel_run(scan_cfg, mesh, sgraph, counts,
+                                train_preagg, eval_preagg)
+        weights, opt_state, metrics, epochs_run = run(
+            weights, opt_state, key, x_train_dev, x_eval_dev,
+            labels_dev, split_dev, *graph_dev,
+        )
+        epochs_run = int(epochs_run)
+        history = np.asarray(metrics)[:epochs_run]
+        if verbose:
+            for e in range(epochs_run):
+                tl, ta, vl, va = history[e]
+                print(
+                    f"epoch={start_epoch + e + 1} train_loss={tl:.5f} "
+                    f"train_acc={ta:.5f} val_loss={vl:.5f} val_acc={va:.5f}"
+                )
+            if epochs_run < scan_cfg.gcn.epochs:
+                print("Early stopping...")
+    else:
+        step = make_parallel_epoch_step(cfg, mesh, sgraph, counts)
+        inputs = (x_dev, labels_dev, split_dev, *graph_dev)
+        k = cfg.gcn.early_stopping
+        rows = []
+        for epoch in range(start_epoch + 1, cfg.gcn.epochs + 1):
+            te = _time.perf_counter()
+            weights, opt_state, key, metrics = step(
+                weights, opt_state, key, *inputs
             )
-        if k > 0 and epoch >= k:
-            window = [r[2] for r in rows[-k:]]
-            if vl > float(np.mean(window)):
-                if verbose:
-                    print("Early stopping...")
-                break
+            tl, ta, vl, va = (float(v) for v in metrics)
+            rows.append((tl, ta, vl, va))
+            if ckpt_dir and cfg.train.checkpoint_every and (
+                epoch % cfg.train.checkpoint_every == 0
+            ):
+                from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    _os.path.join(ckpt_dir, f"ckpt_{epoch:06d}.npz"),
+                    weights, opt_state, epoch, key,
+                )
+            if verbose:
+                print(
+                    f"epoch={epoch} train_loss={tl:.5f} train_acc={ta:.5f} "
+                    f"val_loss={vl:.5f} val_acc={va:.5f} "
+                    f"time={_time.perf_counter() - te:.5f}"
+                )
+            if k > 0 and len(rows) >= k:
+                window = [r[2] for r in rows[-k:]]
+                if vl > float(np.mean(window)):
+                    if verbose:
+                        print("Early stopping...")
+                    break
+        history = np.asarray(rows, dtype=np.float32)
+        epochs_run = len(rows)
     total = _time.perf_counter() - t0
 
-    test_loss, test_acc = (float(v) for v in test_fn(weights, *inputs))
+    if ckpt_dir:
+        from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            _os.path.join(ckpt_dir, "ckpt_final.npz"),
+            weights, opt_state, start_epoch + epochs_run, key,
+        )
+
+    test_loss, test_acc = (float(v) for v in test_fn(
+        weights, x_eval_dev, labels_dev, split_dev, *graph_dev
+    ))
     if verbose:
         print(f"test_loss={test_loss:.5f} test_acc={test_acc:.5f}")
 
-    history = np.asarray(rows, dtype=np.float32)
     return FitResult(
         weights=weights,
         history=history,
-        epochs_run=len(rows),
+        epochs_run=epochs_run,
         test_loss=test_loss,
         test_acc=test_acc,
-        avg_epoch_time_s=total / max(len(rows), 1),
+        avg_epoch_time_s=total / max(epochs_run, 1),
         total_time_s=total,
     )
 
