@@ -162,6 +162,15 @@ class TPUConfig:
     # tiles), ring (ppermute block rotation; COO backends only)
     n_devices: int = 0
     halo: str = "all_gather"
+    # tensor parallelism: size of the second ("feat") mesh axis. Weights
+    # alternate Megatron-style column/row sharding over it, hidden
+    # activations stay feature-sharded through the aggregations (which are
+    # column-independent, so every halo mode composes unchanged), and the
+    # inter-layer psum splits into reduce_scatter -> aggregate -> all_gather
+    # so no aggregation work is replicated. Total devices = n_devices * tp.
+    # Every hidden dim must be divisible by tp (input dim too when
+    # n_layers == 1). 1 = off (SURVEY.md §2.4 TP row).
+    tp: int = 1
     # spread hot tile-row blocks across devices via a whole-block node
     # permutation when the natural order concentrates tiles (hybrid backend;
     # parallel.partition._balance_block_perm)
@@ -192,6 +201,8 @@ class TPUConfig:
             raise ValueError(
                 f"halo must be all_gather|boundary|ring, got {self.halo!r}"
             )
+        if self.tp < 1:
+            raise ValueError(f"tp must be >= 1, got {self.tp}")
         if self.ce_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"ce_impl must be auto|xla|pallas, got {self.ce_impl!r}")
         if self.tile_dtype not in ("auto", "float32", "bfloat16", "int8"):
@@ -245,6 +256,7 @@ _KEYMAP = {
     "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
+    "tp": ("tpu", "tp"),
     "balance_slabs": ("tpu", "balance_slabs"),
     "input_preagg": ("tpu", "input_preagg"),
     "node_pad": ("tpu", "node_pad"),

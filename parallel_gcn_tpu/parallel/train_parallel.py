@@ -28,13 +28,99 @@ from parallel_gcn_tpu.optim import adam_step
 from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
 
 AXIS = "nodes"
+FEAT = "feat"  # tensor-parallel mesh axis (SURVEY.md §2.4 TP row)
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None, tp: int = 1) -> Mesh:
+    """1-D ``(nodes,)`` mesh, or with ``tp > 1`` a 2-D ``(nodes, feat)`` mesh
+    of n_devices × tp devices: rows partitioned over ``nodes`` (data-parallel
+    analog), weight/hidden feature dims over ``feat`` (tensor parallel).
+    Adjacent device ids land on the fast ``feat`` axis so the per-layer
+    reduce_scatter/all_gather rides neighboring ICI links."""
     devices = devices if devices is not None else jax.devices()
+    if tp > 1:
+        n_nodes_axis = n_devices or len(devices) // tp
+        devices = np.asarray(devices[: n_nodes_axis * tp]).reshape(
+            n_nodes_axis, tp
+        )
+        return Mesh(devices, (AXIS, FEAT))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _tp_schedule(n_layers: int) -> list[str]:
+    """Per-layer Megatron-style sharding kinds over the feat axis.
+
+    'col': W sharded on the OUTPUT dim (input replicated over feat, output
+    feature-sharded — no collective). 'row': W sharded on the INPUT dim
+    (input feature-sharded; partial outputs reduced over feat). Alternating
+    col/row gives one reduction per layer pair; the LAST layer is always
+    'row' so logits come out replicated for the loss. An even-indexed last
+    layer (odd n_layers) takes a replicated input, which the row branch
+    slices locally — zero communication."""
+    return [
+        "row" if (i % 2 == 1 or i == n_layers - 1) else "col"
+        for i in range(n_layers)
+    ]
+
+
+def _weight_specs(n_layers: int, tp: int):
+    """shard_map in_specs pytree for the weights list (and Adam moments)."""
+    if tp <= 1:
+        return P()
+    return [
+        P(None, FEAT) if kind == "col" else P(FEAT, None)
+        for kind in _tp_schedule(n_layers)
+    ]
+
+
+def _opt_specs(wspecs):
+    from parallel_gcn_tpu.optim import AdamState
+
+    if not isinstance(wspecs, list):
+        return P()
+    return AdamState(step=P(), m=list(wspecs), v=list(wspecs))
+
+
+def validate_tp_dims(input_dim: int, hidden_dims, output_dim: int, tp: int):
+    """Raise early (host-side) when a dim cannot be sharded tp ways."""
+    if tp <= 1:
+        return
+    dims = [input_dim, *hidden_dims, output_dim]
+    n_layers = len(dims) - 1
+    for i, kind in enumerate(_tp_schedule(n_layers)):
+        if kind == "col" and dims[i + 1] % tp:
+            raise ValueError(
+                f"tp={tp} requires layer {i}'s output dim {dims[i + 1]} "
+                "divisible by tp (column-sharded weight)"
+            )
+        if kind == "row" and i < n_layers - 1 and dims[i + 1] % tp:
+            raise ValueError(
+                f"tp={tp} requires layer {i}'s output dim {dims[i + 1]} "
+                "divisible by tp (reduce_scatter over feat)"
+            )
+        if kind == "row" and i % 2 == 1 and dims[i] % tp:
+            raise ValueError(
+                f"tp={tp} requires layer {i}'s input dim {dims[i]} "
+                "divisible by tp (row-sharded weight)"
+            )
+    if n_layers == 1 and input_dim % tp:
+        raise ValueError(
+            f"tp={tp} with a single layer requires input_dim {input_dim} "
+            "divisible by tp"
+        )
+
+
+def shard_weights(weights, mesh: Mesh, tp: int):
+    """Place full (host/replicated) weights as feat-sharded device arrays."""
+    wspecs = _weight_specs(len(weights), tp)
+    if not isinstance(wspecs, list):
+        return [jax.device_put(w, NamedSharding(mesh, P())) for w in weights]
+    return [
+        jax.device_put(w, NamedSharding(mesh, s))
+        for w, s in zip(weights, wspecs)
+    ]
 
 
 def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
@@ -278,6 +364,8 @@ def _make_forward(cfg: Config, sgraph):
     precision = cfg.tpu.matmul_precision
     residual = cfg.gcn.residual
     dtype = jnp.dtype(cfg.tpu.compute_dtype)
+    tp = max(getattr(cfg.tpu, "tp", 1), 1)
+    sched = _tp_schedule(n_layers) if tp > 1 else None
 
     def _aggregate(h, graph_args):
         # graph_args order matches _graph_specs: base arrays, then sym_scale
@@ -299,10 +387,162 @@ def _make_forward(cfg: Config, sgraph):
         if training and any(d > 0 for d in dropouts):
             # per-device independent dropout masks over the local rows
             key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
-            return list(jax.random.split(key, n_layers))
+            keys = list(jax.random.split(key, n_layers))
+            if tp > 1:
+                # feat-SHARDED layer inputs need independent masks per feat
+                # device (together they form one iid mask over the full
+                # width); feat-REPLICATED inputs ('col' layers) must mask
+                # identically across feat or the replication invariant —
+                # and the reference's shared-input-mask semantics — breaks.
+                # a layer's input is feat-sharded exactly when the layer is
+                # 'row' at index >= 1 (layer 0's input x is replicated; col
+                # layers see the post-all_gather replicated form)
+                tidx = jax.lax.axis_index(FEAT)
+                keys = [
+                    jax.random.fold_in(k, tidx)
+                    if (i > 0 and sched[i] == "row") else k
+                    for i, k in enumerate(keys)
+                ]
+            return keys
         return [None] * n_layers
 
+    def _tp_layer(h, rep, layer, weights, graph_args, lkey, training, preagg):
+        """One tensor-parallel layer: dropout → (sharded) matmul →
+        reduction/aggregation per the col/row schedule. ``rep`` says whether
+        ``h`` is feat-replicated; returns (h', rep').
+
+        The key property making every halo mode compose: Â·H is COLUMN-
+        independent, so aggregating the feature-sharded [n_local, d/tp]
+        activations does exactly 1/tp of the aggregation work per device —
+        the inter-layer psum of Megatron splits into reduce_scatter →
+        aggregate → all_gather with no replicated aggregation anywhere
+        except the n_classes-wide last layer."""
+        kind = sched[layer]
+        last = layer == n_layers - 1
+        h = dropout(h, dropouts[layer], lkey, training=training)
+        if kind == "col":
+            # input replicated; W [d_in, d_out/tp] → output feat-sharded
+            h = feature_transform(
+                h, weights[layer], precision=precision, out_dtype=dtype
+            )
+            if not (layer == 0 and preagg):
+                h = _aggregate(h, graph_args).astype(dtype)
+            return h, False
+        if rep:
+            # replicated input into a row-sharded weight: local slice is free
+            shard = weights[layer].shape[0]
+            h = jax.lax.dynamic_slice_in_dim(
+                h, jax.lax.axis_index(FEAT) * shard, shard, 1
+            )
+        partial = feature_transform(
+            h, weights[layer], precision=precision, out_dtype=dtype
+        )
+        if last:
+            # n_classes wide: plain psum; the (tiny) aggregation replicates
+            h = jax.lax.psum(partial, FEAT)
+            if not (layer == 0 and preagg):
+                h = _aggregate(h, graph_args).astype(dtype)
+            return h, True
+        h = jax.lax.psum_scatter(
+            partial, FEAT, scatter_dimension=1, tiled=True
+        )
+        if not (layer == 0 and preagg):
+            h = _aggregate(h, graph_args).astype(dtype)
+        return h, False
+
+    def forward_tp(weights, x_local, graph_args, training, key, preagg=False):
+        keys = _keys(key, training)
+        h, rep = x_local.astype(dtype), True
+        prev = None  # kept in the feat-sharded (pre-gather) form
+        for layer in range(n_layers):
+            h, rep = _tp_layer(
+                h, rep, layer, weights, graph_args, keys[layer], training,
+                preagg,
+            )
+            if (
+                residual
+                and 0 < layer < n_layers - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
+            if layer < n_layers - 1:
+                h = jax.nn.relu(h)
+                prev = h
+                if sched[layer + 1] == "col" and not rep:
+                    # next layer wants a replicated input
+                    h = jax.lax.all_gather(h, FEAT, axis=1, tiled=True)
+                    rep = True
+        return h.astype(jnp.float32)
+
+    def forward_stacked_tp(weights, x_local, x_eval_local, graph_args, dkey,
+                           train_preagg, eval_preagg):
+        # TP port of forward_stacked: the prefix ends feat-sharded (layer
+        # n-1 is 'row'), the stacked [train|eval] logits ride ONE psum over
+        # feat and ONE last aggregation.
+        L = n_layers
+        keys = _keys(dkey, True)
+
+        def prefix(h, training, preagg):
+            rep, prev = True, None
+            ks = keys if training else [None] * L
+            for layer in range(L - 1):
+                h, rep = _tp_layer(
+                    h, rep, layer, weights, graph_args, ks[layer], training,
+                    preagg,
+                )
+                if (
+                    residual
+                    and 0 < layer < L - 1
+                    and prev is not None
+                    and prev.shape == h.shape
+                ):
+                    h = h + prev
+                h = jax.nn.relu(h)
+                prev = h
+                if layer + 1 < L - 1 and sched[layer + 1] == "col" and not rep:
+                    h = jax.lax.all_gather(h, FEAT, axis=1, tiled=True)
+                    rep = True
+            return h, rep
+
+        share = (
+            all(d == 0 for d in dropouts[: L - 1])
+            and train_preagg == eval_preagg
+        )
+        ht, rep_t = prefix(x_local.astype(dtype), True, train_preagg)
+        he, rep_e = (ht, rep_t) if share else prefix(
+            x_eval_local.astype(dtype), False, eval_preagg
+        )
+
+        def last_in(h, rep):
+            if rep:  # odd n_layers: slice the replicated input locally
+                shard = weights[L - 1].shape[0]
+                h = jax.lax.dynamic_slice_in_dim(
+                    h, jax.lax.axis_index(FEAT) * shard, shard, 1
+                )
+            return h
+
+        at = dropout(ht, dropouts[L - 1], keys[L - 1], training=True)
+        at = feature_transform(
+            last_in(at, rep_t), weights[L - 1], precision=precision,
+            out_dtype=dtype,
+        )
+        ae = feature_transform(
+            last_in(he, rep_e), weights[L - 1], precision=precision,
+            out_dtype=dtype,
+        )
+        n_classes = at.shape[1]
+        stacked = jax.lax.psum(jnp.concatenate([at, ae], axis=1), FEAT)
+        stacked = _aggregate(stacked, graph_args)
+        return (
+            stacked[:, :n_classes].astype(jnp.float32),
+            stacked[:, n_classes:].astype(jnp.float32),
+        )
+
     def forward(weights, x_local, graph_args, training, key, preagg=False):
+        if tp > 1:
+            return forward_tp(weights, x_local, graph_args, training, key,
+                              preagg)
         h = x_local.astype(dtype)
         keys = _keys(key, training)
         prev = None
@@ -332,6 +572,11 @@ def _make_forward(cfg: Config, sgraph):
         # logits stacked side-by-side ride ONE aggregation (and, under the
         # halo designs, ONE collective) at the same hardware cost. Valid only
         # on the static-epoch schedule; caller realigns val metrics by one.
+        if tp > 1:
+            return forward_stacked_tp(
+                weights, x_local, x_eval_local, graph_args, dkey,
+                train_preagg, eval_preagg,
+            )
         L = n_layers
         keys = _keys(dkey, True)
 
@@ -427,10 +672,19 @@ def make_parallel_epoch_step(
     """
     adam = cfg.adam
     wd = adam.weight_decay
+    tp = max(cfg.tpu.tp, 1)
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
     forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(sgraph)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
+
+    def _pen(w0):
+        # W0 is feat-sharded under tp: the L2 norm needs the full weight
+        l2 = l2_penalty(w0)
+        if tp > 1:
+            l2 = jax.lax.psum(l2, FEAT)
+        return jnp.float32(wd) * l2 / 2.0
 
     def step(weights, opt_state, key, x_local, labels_local, split_local,
              *graph_args):
@@ -445,8 +699,10 @@ def make_parallel_epoch_step(
             return loss, acc
 
         (ce, train_acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(weights)
+        # weight grads reduce over the node shards only — each feat device
+        # owns its weight shard and its grad is already complete
         grads = jax.lax.psum(grads, AXIS)
-        train_loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        train_loss = ce + _pen(weights[0])
 
         weights, opt_state = adam_step(
             weights, grads, opt_state,
@@ -458,7 +714,7 @@ def make_parallel_epoch_step(
         val_ce, val_acc = _masked_ce_local(
             val_logits, labels_local, split_local == VAL, n_val
         )
-        val_loss = val_ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        val_loss = val_ce + _pen(weights[0])
         metrics = jnp.stack([train_loss, train_acc, val_loss, val_acc])
         return weights, opt_state, key, metrics
 
@@ -466,11 +722,11 @@ def make_parallel_epoch_step(
         step,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(),  # weights, opt, key: replicated
+            wspecs, _opt_specs(wspecs), P(),  # weights, opt, key
             P(AXIS, None), P(AXIS), P(AXIS),  # x, labels, split: row-sharded
             *graph_specs,
         ),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(wspecs, _opt_specs(wspecs), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded_step, donate_argnums=(0, 1))
@@ -491,23 +747,28 @@ def make_parallel_eval_fn(
     (src/gcn.cu:440-455). ``preagg=True``: x_local already holds Â·X and
     layer 0's aggregation is skipped."""
     wd = cfg.adam.weight_decay
+    tp = max(cfg.tpu.tp, 1)
     n = split_counts[split]
     forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(sgraph)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
 
     def eval_step(weights, x_local, labels_local, split_local, *graph_args):
         graph_args = tuple(a[0] for a in graph_args)
         logits = forward(weights, x_local, graph_args, False, None,
                          preagg=preagg)
         ce, acc = _masked_ce_local(logits, labels_local, split_local == split, n)
-        loss = ce + jnp.float32(wd) * l2_penalty(weights[0]) / 2.0
+        l2 = l2_penalty(weights[0])
+        if tp > 1:
+            l2 = jax.lax.psum(l2, FEAT)
+        loss = ce + jnp.float32(wd) * l2 / 2.0
         return loss, acc
 
     sharded = jax.shard_map(
         eval_step,
         mesh=mesh,
         in_specs=(
-            P(),
+            wspecs,
             P(AXIS, None), P(AXIS), P(AXIS),
             *graph_specs,
         ),
@@ -558,6 +819,7 @@ def make_parallel_run(
     """
     adam = cfg.adam
     wd = adam.weight_decay
+    tp = max(cfg.tpu.tp, 1)
     epochs = cfg.gcn.epochs
     k = cfg.gcn.early_stopping
     if k > epochs:
@@ -568,6 +830,7 @@ def make_parallel_run(
     n_val = split_counts[VAL]
     pm = _make_forward(cfg, sgraph)
     graph_specs, _ = _graph_specs(sgraph)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
 
     def run(weights, opt_state, key, x_local, x_eval_local, labels_local,
             split_local, *graph_args):
@@ -576,7 +839,10 @@ def make_parallel_run(
         val_mask = split_local == VAL
 
         def pen(w0):
-            return jnp.float32(wd) * l2_penalty(w0) / 2.0
+            l2 = l2_penalty(w0)
+            if tp > 1:
+                l2 = jax.lax.psum(l2, FEAT)
+            return jnp.float32(wd) * l2 / 2.0
 
         def take_adam_step(weights, grads, opt_state):
             return adam_step(
@@ -708,12 +974,12 @@ def make_parallel_run(
         run,
         mesh=mesh,
         in_specs=(
-            P(), P(), P(),  # weights, opt, key: replicated
+            wspecs, _opt_specs(wspecs), P(),  # weights, opt, key
             P(AXIS, None), P(AXIS, None),  # x_train, x_eval: row-sharded
             P(AXIS), P(AXIS),  # labels, split
             *graph_specs,
         ),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(wspecs, _opt_specs(wspecs), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded_run, donate_argnums=(0, 1))
@@ -758,14 +1024,16 @@ def fit_parallel(
     from parallel_gcn_tpu.train import FitResult
 
     halo = halo or cfg.tpu.halo
-    n_devices = n_devices or cfg.tpu.n_devices or len(jax.devices())
+    tp = max(cfg.tpu.tp, 1)
     avail = len(jax.devices())
-    if n_devices > avail:
+    n_devices = n_devices or cfg.tpu.n_devices or avail // tp
+    if n_devices * tp > avail:
         raise RuntimeError(
-            f"fit_parallel needs {n_devices} devices, have {avail}; for a "
-            "virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
-            f"device_count={n_devices} before importing jax"
+            f"fit_parallel needs {n_devices}x{tp} devices, have {avail}; for "
+            "a virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n_devices * tp} before importing jax"
         )
+    validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim, tp)
     verbose = cfg.train.verbose if verbose is None else verbose
 
     if cfg.tpu.backend in ("hybrid", "bcsr"):
@@ -799,7 +1067,7 @@ def fit_parallel(
         sgraph = partition_graph(ds.graph, n_devices,
                                  node_pad=cfg.tpu.node_pad,
                                  boundary=halo == "boundary")
-    mesh = make_mesh(n_devices)
+    mesh = make_mesh(n_devices, tp=tp)
     x, labels, split = shard_dataset(ds, sgraph)
     x_dev, labels_dev, split_dev, *graph_dev = device_put_sharded_inputs(
         mesh, sgraph, x, labels, split
@@ -816,12 +1084,24 @@ def fit_parallel(
         weights, opt_state, start_epoch, saved_key = load_checkpoint(resume_from)
         if saved_key is not None:
             key = saved_key
+        if tp > 1:
+            from parallel_gcn_tpu.optim import AdamState
+
+            weights = shard_weights(weights, mesh, tp)
+            opt_state = AdamState(
+                step=opt_state.step,
+                m=shard_weights(list(opt_state.m), mesh, tp),
+                v=shard_weights(list(opt_state.v), mesh, tp),
+            )
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
     else:
         weights = init_params(
             init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
         )
+        if tp > 1:
+            # shard first so init_adam's zeros_like inherits the placement
+            weights = shard_weights(weights, mesh, tp)
         opt_state = init_adam(weights)
 
     # input pre-aggregation hoist (exact; see train.preaggregate_input):

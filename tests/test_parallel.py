@@ -720,3 +720,118 @@ def test_parallel_residual_matches_single_chip():
     single = np.stack(single)
     np.testing.assert_allclose(par[:, [0, 2]], single[:, [0, 2]], rtol=2e-3,
                                atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (SURVEY.md §2.4 TP row, VERDICT round-1 missing item 2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "backend,halo,es,n_layers,residual,n_dev,tp,mode",
+    [
+        ("segment", "all_gather", 0, 2, False, 4, 2, "scan"),
+        ("segment", "all_gather", 5, 3, True, 2, 4, "scan"),
+        ("hybrid", "boundary", 0, 2, False, 4, 2, "scan"),
+        ("segment", "boundary", 0, 2, False, 4, 2, "eager"),
+    ],
+)
+def test_fit_parallel_tp_matches_single_chip(backend, halo, es, n_layers,
+                                             residual, n_dev, tp, mode):
+    """Tensor parallelism (cfg.tpu.tp > 1, Megatron-style col/row weight
+    sharding over the 'feat' mesh axis) composed with the node partition must
+    reproduce the single-chip metric trajectory on an n_dev×tp mesh. Covers
+    the alternating schedule (even L), the odd-L slice/reduce_scatter path
+    with residual, and composition with the hybrid tiles + boundary halo."""
+    from parallel_gcn_tpu.data.parser import to_device
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+    from parallel_gcn_tpu.train import fit
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        ds = _dataset()
+        gcn = GCNConfig(
+            n_layers=n_layers, hidden_dims=(16,) * (n_layers - 1),
+            dropouts=(0.0,) * n_layers, epochs=10, early_stopping=es,
+            residual=residual,
+        )
+        cfg = Config(
+            gcn=gcn,
+            tpu=TPUConfig(backend=backend, seed=7, n_devices=n_dev, tp=tp,
+                          halo=halo, min_tile_nnz=4,
+                          matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode=mode),
+        )
+        res_par = fit_parallel(cfg, ds)
+
+        single_cfg = Config(
+            gcn=gcn,
+            tpu=TPUConfig(backend="segment", seed=7,
+                          matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        res_one = fit(single_cfg, to_device(ds))
+
+        assert res_par.epochs_run == res_one.epochs_run
+        np.testing.assert_allclose(
+            res_par.history[:, [0, 2]], res_one.history[:, [0, 2]],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            res_par.history[:, [1, 3]], res_one.history[:, [1, 3]], atol=0.02
+        )
+        assert abs(res_par.test_acc - res_one.test_acc) < 0.03
+    finally:
+        pallas_bcsr._INTERPRET[0] = old
+
+
+def test_tp_weights_are_feature_sharded():
+    """The point of TP is memory scaling: each device must hold only a
+    1/tp-wide shard of every weight (col layers shard the output dim, row
+    layers the input dim)."""
+    from parallel_gcn_tpu.parallel.train_parallel import (
+        _tp_schedule,
+        make_mesh,
+        shard_weights,
+    )
+
+    mesh = make_mesh(2, tp=4)
+    w = init_params(jax.random.PRNGKey(0), 12, (16, 16, 16), 4)
+    sharded = shard_weights(w, mesh, 4)
+    sched = _tp_schedule(4)
+    assert sched == ["col", "row", "col", "row"]
+    for full, s, kind in zip(w, sharded, sched):
+        local = s.addressable_shards[0].data.shape
+        if kind == "col":
+            assert local == (full.shape[0], full.shape[1] // 4)
+        else:
+            assert local == (full.shape[0] // 4, full.shape[1])
+
+
+def test_tp_validates_indivisible_dims():
+    from parallel_gcn_tpu.parallel.train_parallel import validate_tp_dims
+
+    with pytest.raises(ValueError, match="divisible by tp"):
+        validate_tp_dims(12, (17,), 4, tp=4)  # hidden 17 % 4 != 0
+    validate_tp_dims(12, (16,), 4, tp=4)  # fine
+
+
+def test_fit_parallel_tp_learns_with_dropout():
+    """Dropout under TP: feat-replicated inputs mask identically across the
+    feat axis, feat-sharded inputs mask independently — training must still
+    learn the separable synthetic problem."""
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    ds = _dataset()
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.3, 0.3),
+                      epochs=40, early_stopping=0),
+        tpu=TPUConfig(backend="segment", seed=7, n_devices=2, tp=4),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    res = fit_parallel(cfg, ds)
+    assert res.history[-1, 0] < res.history[0, 0]
+    assert res.test_acc > 0.5
+    assert np.isfinite(res.history).all()
