@@ -835,3 +835,107 @@ def test_fit_parallel_tp_learns_with_dropout():
     assert res.history[-1, 0] < res.history[0, 0]
     assert res.test_acc > 0.5
     assert np.isfinite(res.history).all()
+
+
+# ---------------------------------------------------------------------------
+# compiled collective structure (VERDICT round-1 weak item 6 / next item 7):
+# pin the collective count/type per halo mode so a halo regression (e.g. an
+# accidental full gather sneaking back into the boundary path) is caught
+# without multi-chip hardware.
+# ---------------------------------------------------------------------------
+
+
+def _collective_counts(halo, tp=1, backend="segment"):
+    import re
+
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+    from parallel_gcn_tpu.parallel.train_parallel import shard_weights
+
+    old_interpret = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        return _collective_counts_inner(
+            re, partition_graph_hybrid, shard_weights, halo, tp, backend
+        )
+    finally:
+        pallas_bcsr._INTERPRET[0] = old_interpret
+
+
+def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
+                             tp, backend):
+    # hybrid needs >= 2 tile-row blocks per device (8 dev × 128-row tiles)
+    # or slab balancing has no freedom and the imbalance warning fires
+    ds = _dataset(n=2048) if backend == "hybrid" else _dataset()
+    counts_split = {s: int((ds.split == s).sum()) for s in (1, 2, 3)}
+    nd = 4 if tp > 1 else 8
+    mesh = make_mesh(nd, tp=tp)
+    if backend == "hybrid":
+        sg = partition_graph_hybrid(
+            ds.graph, nd, min_tile_nnz=4, boundary=halo == "boundary",
+            balance=True,
+        )
+    elif halo == "ring":
+        sg = partition_graph_ring(ds.graph, nd)
+    else:
+        sg = partition_graph(ds.graph, nd, boundary=halo == "boundary")
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                      epochs=1, early_stopping=0),
+        tpu=TPUConfig(backend=backend, n_devices=nd, tp=tp, halo=halo,
+                      min_tile_nnz=4),
+        train=TrainConfig(verbose=False),
+    )
+    x, l, s = shard_dataset(ds, sg)
+    inputs = device_put_sharded_inputs(mesh, sg, x, l, s)
+    step = make_parallel_epoch_step(cfg, mesh, sg, counts_split)
+    w = init_params(jax.random.PRNGKey(0), ds.input_dim, (16,), ds.output_dim)
+    if tp > 1:
+        w = shard_weights(w, mesh, tp)
+    opt = init_adam(w)
+    hlo = step.lower(w, opt, jax.random.PRNGKey(1), *inputs).compile().as_text()
+    return {
+        op: len(re.findall(rf"{op}(?:-start)?\(", hlo))
+        for op in ("all-gather", "reduce-scatter", "all-reduce",
+                   "collective-permute", "all-to-all")
+    }
+
+
+@pytest.mark.skipif(jax.default_backend() != "cpu", reason="CPU-mesh test")
+@pytest.mark.parametrize(
+    "halo,tp,backend,expect",
+    [
+        # 2-layer epoch step = 2 train-fwd aggs + 2 bwd transposes +
+        # 2 val-fwd aggs; grad/loss psums become combined all-reduces.
+        # all_gather halo: one AG per fwd agg, the bwd transpose of AG is a
+        # reduce-scatter.
+        ("all_gather", 1, "segment",
+         {"all-gather": 4, "reduce-scatter": 2, "collective-permute": 0,
+          "all-to-all": 0}),
+        # boundary halo: NO full gather anywhere (the memory-scaling
+        # invariant) — each agg is one all-to-all; its transpose is another.
+        ("boundary", 1, "segment",
+         {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 0,
+          "all-to-all": 6}),
+        ("boundary", 1, "hybrid",
+         {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 0,
+          "all-to-all": 6}),
+        # ring halo: one collective-permute inside each agg's rotation loop
+        # (6 agg sites), and never a full gather.
+        ("ring", 1, "segment",
+         {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 6,
+          "all-to-all": 0}),
+        # TP on a 4x2 mesh: node-axis structure unchanged; the feat-axis
+        # last-layer psums + sharded-W0 L2 psums add all-reduces only.
+        ("all_gather", 2, "segment",
+         {"all-gather": 4, "reduce-scatter": 2, "collective-permute": 0,
+          "all-to-all": 0}),
+    ],
+)
+def test_epoch_step_collective_structure(halo, tp, backend, expect):
+    got = _collective_counts(halo, tp=tp, backend=backend)
+    for op, n in expect.items():
+        assert got[op] == n, f"{halo}/tp={tp}/{backend}: {op}={got[op]} != {n} ({got})"
+    # grad psum + loss/acc psums must exist; exact count depends on XLA's
+    # all-reduce combiner, so only pin a sane band
+    assert 1 <= got["all-reduce"] <= 8, got
