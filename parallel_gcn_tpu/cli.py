@@ -69,7 +69,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     print(f"PARSING {dataset} ...")
-    if cfg.tpu.n_devices > 1:
+    # the mesh path handles both node partitioning (n_devices) and tensor
+    # parallelism (tp) — a tp-only config must not fall through to the
+    # single-chip fit(), which has no tp concept
+    use_mesh = cfg.tpu.n_devices > 1 or cfg.tpu.tp > 1
+    if use_mesh:
         from parallel_gcn_tpu.data.parser import prepare_host_dataset
 
         ds, dds = prepare_host_dataset(cfg, dataset), None
@@ -82,11 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     print("TRAINING AND EVALUATION OF GCN:")
-    if cfg.tpu.n_devices > 1:
+    if use_mesh:
         from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
 
-        print(f"multi-chip: {cfg.tpu.n_devices} devices, halo={cfg.tpu.halo}")
-        result = fit_parallel(cfg, ds)
+        print(
+            f"multi-chip: {cfg.tpu.n_devices or 'auto'} node-shards "
+            f"x tp={cfg.tpu.tp}, halo={cfg.tpu.halo}"
+        )
+        result = fit_parallel(cfg, ds, resume_from=resume_from)
     else:
         result = fit(cfg, dds, resume_from=resume_from)
     print(

@@ -219,6 +219,14 @@ class TrainConfig:
     checkpoint_dir: str = ""
     checkpoint_every: int = 0  # epochs; 0 = disabled
 
+    def __post_init__(self):
+        # a typo'd mode would silently fall through the == "scan" check into
+        # the eager loop, changing performance and checkpoint cadence
+        if self.mode not in ("scan", "eager"):
+            raise ValueError(
+                f"train.mode must be 'scan' or 'eager', got {self.mode!r}"
+            )
+
 
 @dataclass
 class Config:

@@ -1122,22 +1122,76 @@ def fit_parallel(
 
     t0 = _time.perf_counter()
     if cfg.train.mode == "scan":
+        import copy
+
+        from parallel_gcn_tpu.train import _advance_key
+
         scan_cfg = cfg
+        remaining = max(cfg.gcn.epochs - start_epoch, 0)
         if start_epoch:
             # resumed: train only the REMAINING epochs (the fused program's
             # trip count is static)
-            import copy
-
             scan_cfg = copy.deepcopy(cfg)
-            scan_cfg.gcn.epochs = max(cfg.gcn.epochs - start_epoch, 0)
-        run = make_parallel_run(scan_cfg, mesh, sgraph, counts,
-                                train_preagg, eval_preagg)
-        weights, opt_state, metrics, epochs_run = run(
-            weights, opt_state, key, x_train_dev, x_eval_dev,
-            labels_dev, split_dev, *graph_dev,
-        )
-        epochs_run = int(epochs_run)
-        history = np.asarray(metrics)[:epochs_run]
+            scan_cfg.gcn.epochs = remaining
+            if 0 < remaining < cfg.gcn.early_stopping and verbose:
+                print(
+                    f"warning: {remaining} epochs remain after resume but the "
+                    f"early_stopping window needs {cfg.gcn.early_stopping} "
+                    "post-resume val losses — the stopping rule cannot fire "
+                    "on this tail"
+                )
+        data_args = (x_train_dev, x_eval_dev, labels_dev, split_dev,
+                     *graph_dev)
+        ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
+        if ckpt_every and cfg.gcn.early_stopping:
+            ckpt_every = 0
+            if verbose:
+                print(
+                    "warning: scan-mode periodic checkpoints require "
+                    "early_stopping=0 (fused chunks would reset the stopping "
+                    "window); only ckpt_final.npz will be written — use "
+                    "mode=eager for periodic checkpoints with early stopping"
+                )
+        if ckpt_every and remaining > ckpt_every:
+            # chunked fused run (exact on the static schedule) — see
+            # train.fit's scan branch
+            from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+            seg_rows, done = [], 0
+            while done < remaining:
+                n = min(ckpt_every, remaining - done)
+                seg_cfg = copy.deepcopy(scan_cfg)
+                seg_cfg.gcn.epochs = n
+                run = make_parallel_run(seg_cfg, mesh, sgraph, counts,
+                                        train_preagg, eval_preagg)
+                weights, opt_state, m, _ = run(
+                    weights, opt_state, key, *data_args
+                )
+                key = _advance_key(key, n)
+                done += n
+                seg_rows.append(np.asarray(m))
+                if done < remaining:  # the tail is covered by ckpt_final
+                    save_checkpoint(
+                        _os.path.join(
+                            ckpt_dir, f"ckpt_{start_epoch + done:06d}.npz"
+                        ),
+                        weights, opt_state, start_epoch + done, key,
+                    )
+            history = (
+                np.concatenate(seg_rows)
+                if seg_rows else np.zeros((0, 4), np.float32)
+            )
+            epochs_run = done
+        else:
+            run = make_parallel_run(scan_cfg, mesh, sgraph, counts,
+                                    train_preagg, eval_preagg)
+            weights, opt_state, metrics, epochs_run = run(
+                weights, opt_state, key, *data_args
+            )
+            epochs_run = int(epochs_run)
+            history = np.asarray(metrics)[:epochs_run]
+            if ckpt_dir:
+                key = _advance_key(key, epochs_run)
         if verbose:
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]

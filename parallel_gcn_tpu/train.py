@@ -300,6 +300,17 @@ def _fused_deferred_forward(
     )
 
 
+@jax.jit
+def _advance_key(key, n):
+    """Advance a carry key by ``n`` per-epoch splits — replays exactly the
+    ``key, _ = jax.random.split(key)`` each executed epoch performs inside
+    the fused run (which returns metrics but not the advanced key), so
+    scan-mode checkpoints are resume-exact: the resumed run CONTINUES the
+    dropout-key stream instead of replaying the original run's first epochs.
+    """
+    return jax.lax.fori_loop(0, n, lambda i, k: jax.random.split(k)[0], key)
+
+
 def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     """The fused whole-run jit: lax.while_loop over epochs with on-device early
     stopping. Returns (weights, opt, metrics[epochs,4], epochs_run).
@@ -535,18 +546,69 @@ def fit(
 
     t0 = time.perf_counter()
     if cfg.train.mode == "scan":
+        import copy
+
         scan_cfg = cfg
+        remaining = max(cfg.gcn.epochs - start_epoch, 0)
         if start_epoch:
             # resumed: train only the REMAINING epochs (the eager loop does
             # this via its range; the fused program's trip count is static)
-            import copy
-
             scan_cfg = copy.deepcopy(cfg)
-            scan_cfg.gcn.epochs = max(cfg.gcn.epochs - start_epoch, 0)
-        run = _make_scan_run(model, scan_cfg, dds)
-        weights, opt_state, metrics, epochs_run = run(weights, opt_state, key)
-        epochs_run = int(epochs_run)
-        history = np.asarray(metrics)[:epochs_run]
+            scan_cfg.gcn.epochs = remaining
+            if 0 < remaining < cfg.gcn.early_stopping and verbose:
+                print(
+                    f"warning: {remaining} epochs remain after resume but the "
+                    f"early_stopping window needs {cfg.gcn.early_stopping} "
+                    "post-resume val losses — the stopping rule cannot fire "
+                    "on this tail"
+                )
+        ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
+        if ckpt_every and cfg.gcn.early_stopping:
+            ckpt_every = 0
+            if verbose:
+                print(
+                    "warning: scan-mode periodic checkpoints require "
+                    "early_stopping=0 (fused chunks would reset the stopping "
+                    "window); only ckpt_final.npz will be written — use "
+                    "mode=eager for periodic checkpoints with early stopping"
+                )
+        if ckpt_every and remaining > ckpt_every:
+            # run the fused program in checkpoint_every-sized chunks: with a
+            # static schedule (early_stopping=0) chunking is numerically
+            # exact, and at most two distinct chunk lengths compile
+            from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+            seg_rows, done = [], 0
+            while done < remaining:
+                n = min(ckpt_every, remaining - done)
+                seg_cfg = copy.deepcopy(scan_cfg)
+                seg_cfg.gcn.epochs = n
+                run = _make_scan_run(model, seg_cfg, dds)
+                weights, opt_state, m, _ = run(weights, opt_state, key)
+                key = _advance_key(key, n)
+                done += n
+                seg_rows.append(np.asarray(m))
+                if done < remaining:  # the tail is covered by ckpt_final
+                    save_checkpoint(
+                        os.path.join(
+                            ckpt_dir, f"ckpt_{start_epoch + done:06d}.npz"
+                        ),
+                        weights, opt_state, start_epoch + done, key,
+                    )
+            history = (
+                np.concatenate(seg_rows)
+                if seg_rows else np.zeros((0, 4), np.float32)
+            )
+            epochs_run = done
+        else:
+            run = _make_scan_run(model, scan_cfg, dds)
+            weights, opt_state, metrics, epochs_run = run(
+                weights, opt_state, key
+            )
+            epochs_run = int(epochs_run)
+            history = np.asarray(metrics)[:epochs_run]
+            if ckpt_dir:
+                key = _advance_key(key, epochs_run)
         if verbose:
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]

@@ -314,6 +314,82 @@ def test_resume_scan_trains_remaining_epochs(tmp_path):
     assert res.history.shape == (3, 4)
 
 
+def test_scan_chunked_checkpoint_matches_unchunked(tmp_path):
+    """Scan mode with checkpoint_every splits the fused run into chunks; with
+    a static schedule (early_stopping=0) the chunking must be numerically
+    exact — same metric history and test acc as one unchunked fused run —
+    because _advance_key replays the per-epoch key splits between chunks.
+    Nonzero dropout makes any key-stream drift visible."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(ckpt_dir, every):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.4, 0.3),
+                          epochs=12, early_stopping=0),
+            tpu=TPUConfig(backend="segment", seed=5),
+            train=TrainConfig(verbose=False, mode="scan",
+                              checkpoint_dir=ckpt_dir,
+                              checkpoint_every=every),
+        )
+        return fit(cfg, dds)
+
+    import os
+
+    plain = run("", 0)
+    ck = str(tmp_path / "ck")
+    chunked = run(ck, 5)
+    np.testing.assert_allclose(chunked.history, plain.history,
+                               rtol=1e-5, atol=1e-6)
+    assert chunked.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
+    # chunks at 5 and 10; the 12-epoch tail is ckpt_final
+    names = sorted(os.listdir(ck))
+    assert names == ["ckpt_000005.npz", "ckpt_000010.npz", "ckpt_final.npz"]
+
+
+def test_scan_resume_from_chunk_continues_key_stream(tmp_path):
+    """Resuming a scan run from an intermediate chunk checkpoint must CONTINUE
+    the dropout-key stream (not replay the first epochs): the resumed tail's
+    metrics must equal rows [5:] of the single uninterrupted run."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def cfg(ckpt_dir="", every=0):
+        return Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.4, 0.3),
+                          epochs=12, early_stopping=0),
+            tpu=TPUConfig(backend="segment", seed=5),
+            train=TrainConfig(verbose=False, mode="scan",
+                              checkpoint_dir=ckpt_dir,
+                              checkpoint_every=every),
+        )
+
+    plain = fit(cfg(), dds)
+    ck = str(tmp_path / "ck")
+    fit(cfg(ck, 5), dds)
+    import os
+
+    resumed = fit(cfg(), dds, resume_from=os.path.join(ck, "ckpt_000005.npz"))
+    assert resumed.epochs_run == 7
+    np.testing.assert_allclose(resumed.history, plain.history[5:],
+                               rtol=1e-5, atol=1e-6)
+    assert resumed.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
+
+
 def test_checkpoint_resume(tmp_path):
     """Resume must continue training from the saved state."""
     from parallel_gcn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

@@ -584,6 +584,46 @@ def test_fit_parallel_scan_matches_single_chip(backend, halo, es, tile_dtype,
         pallas_bcsr._INTERPRET[0] = old
 
 
+def test_fit_parallel_scan_checkpoint_and_resume(tmp_path):
+    """Multi-chip scan-mode checkpointing: chunked fused runs (checkpoint_every)
+    must reproduce the uninterrupted run exactly (the inter-chunk _advance_key
+    replays the per-epoch key splits — dropout on to expose drift), and
+    resuming from an intermediate chunk must continue the run's tail."""
+    import os
+
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    ds = _dataset()
+
+    def cfg(ckpt_dir="", every=0):
+        return Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.4, 0.3),
+                          epochs=12, early_stopping=0),
+            tpu=TPUConfig(backend="segment", seed=7, n_devices=4,
+                          halo="boundary"),
+            train=TrainConfig(verbose=False, mode="scan",
+                              checkpoint_dir=ckpt_dir,
+                              checkpoint_every=every),
+        )
+
+    plain = fit_parallel(cfg(), ds)
+    ck = str(tmp_path / "ck")
+    chunked = fit_parallel(cfg(ck, 5), ds)
+    np.testing.assert_allclose(chunked.history, plain.history,
+                               rtol=1e-5, atol=1e-6)
+    assert sorted(os.listdir(ck)) == [
+        "ckpt_000005.npz", "ckpt_000010.npz", "ckpt_final.npz"
+    ]
+
+    resumed = fit_parallel(
+        cfg(), ds, resume_from=os.path.join(ck, "ckpt_000005.npz")
+    )
+    assert resumed.epochs_run == 7
+    np.testing.assert_allclose(resumed.history, plain.history[5:],
+                               rtol=1e-5, atol=1e-6)
+    assert resumed.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
+
+
 @pytest.mark.parametrize("halo", ["all_gather", "boundary", "ring"])
 def test_fit_parallel_end_to_end(halo):
     """The complete multi-chip driver: trains, evaluates test, early-stops."""
