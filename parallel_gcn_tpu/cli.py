@@ -61,18 +61,53 @@ def main(argv: list[str] | None = None) -> int:
                 else _parse_scalar(val)
             )
 
-    print_device_info()
     try:
         cfg = load_config(params_file or default_params_path(dataset), overrides)
     except (KeyError, ValueError) as e:
         print(f"error: {e}")
         return 2
 
-    print(f"PARSING {dataset} ...")
     # the mesh path handles both node partitioning (n_devices) and tensor
     # parallelism (tp) — a tp-only config must not fall through to the
     # single-chip fit(), which has no tp concept
     use_mesh = cfg.tpu.n_devices > 1 or cfg.tpu.tp > 1
+    need = max(cfg.tpu.n_devices, 1) * cfg.tpu.tp
+    if use_mesh and need > 1:
+        # XLA reads XLA_FLAGS exactly once, at the process's FIRST backend
+        # init — set the virtual-device count preemptively, before the device
+        # banner below initializes anything, so the CPU-mesh fallback is
+        # possible if the real chips turn out to be too few. Harmless when
+        # they suffice: the flag only sizes the (then unused) cpu platform.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={need}"
+            ).strip()
+
+    print_device_info()
+
+    if use_mesh and need > len(jax.devices()):
+        # functional fallback: a virtual CPU mesh big enough for the
+        # requested layout (remote TPU plugins ignore a JAX_PLATFORMS=cpu
+        # env var, so the switch must happen programmatically)
+        import jax.extend.backend as _jexb
+
+        _jexb.clear_backends()
+        jax.config.update("jax_platforms", "cpu")
+        if cfg.tpu.backend in ("hybrid", "bcsr"):
+            # tile kernels have no CPU lowering — interpret mode
+            from parallel_gcn_tpu.ops import pallas_bcsr
+
+            pallas_bcsr._INTERPRET[0] = True
+        print(
+            f"note: {need} devices requested but fewer real chips are "
+            f"attached — running on a {need}-device virtual CPU mesh "
+            "(functional validation, not speed)"
+        )
+
+    print(f"PARSING {dataset} ...")
     if use_mesh:
         from parallel_gcn_tpu.data.parser import prepare_host_dataset
 

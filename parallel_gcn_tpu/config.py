@@ -159,7 +159,9 @@ class TPUConfig:
     # all_gather (full remote feature gather — fast while N·F fits HBM),
     # boundary (all_to_all of only the referenced remote rows/tile-blocks —
     # per-device memory O(N/D + halo); works with ALL backends incl. hybrid
-    # tiles), ring (ppermute block rotation; COO backends only)
+    # tiles), adaptive (boundary + per-pair PUSH of partial sums where that
+    # ships fewer rows — bounds the slab by min(pull, push); hub-heavy
+    # graphs; COO backends only), ring (ppermute block rotation; COO only)
     n_devices: int = 0
     halo: str = "all_gather"
     # tensor parallelism: size of the second ("feat") mesh axis. Weights
@@ -197,9 +199,10 @@ class TPUConfig:
                 f"tile_cols ({self.tile_cols}) must be a multiple of "
                 f"tile_size ({self.tile_size})"
             )
-        if self.halo not in ("all_gather", "boundary", "ring"):
+        if self.halo not in ("all_gather", "boundary", "adaptive", "ring"):
             raise ValueError(
-                f"halo must be all_gather|boundary|ring, got {self.halo!r}"
+                "halo must be all_gather|boundary|adaptive|ring, "
+                f"got {self.halo!r}"
             )
         if self.tp < 1:
             raise ValueError(f"tp must be >= 1, got {self.tp}")
@@ -287,11 +290,13 @@ _KEYMAP = {
 _SECTION_CLS = None  # filled lazily (Config classes defined above)
 
 
-def _check_value_type(section: str, name: str, val) -> None:
+def _check_value_type(section: str, name: str, val):
     """Hard-error on type mismatches so a typo'd override (``epochs=10O``
     parses as the string "10O") cannot silently fall back to a default or
     misbehave downstream. Declared field annotations are strings
-    (``from __future__ import annotations``), so match on the text."""
+    (``from __future__ import annotations``), so match on the text.
+    Returns the value, coerced where accepted-but-mistyped (``epochs=50.0``
+    becomes int 50 instead of crashing range()/scan() deep in training)."""
     global _SECTION_CLS
     if _SECTION_CLS is None:
         _SECTION_CLS = {
@@ -302,8 +307,12 @@ def _check_value_type(section: str, name: str, val) -> None:
     is_num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
     if ftype == "int":
         ok = is_num(val) and float(val) == int(val)
+        if ok:
+            val = int(val)
     elif ftype == "float":
         ok = is_num(val)
+        if ok:
+            val = float(val)
     elif ftype == "bool":
         ok = isinstance(val, bool)
     elif ftype == "str":
@@ -315,6 +324,7 @@ def _check_value_type(section: str, name: str, val) -> None:
         raise ValueError(
             f"config key {name}={val!r} is not a valid {ftype}"
         )
+    return val
 
 
 def load_config(path: str, overrides: dict | None = None) -> Config:
@@ -333,8 +343,7 @@ def load_config(path: str, overrides: dict | None = None) -> Config:
         if key not in _KEYMAP:
             raise KeyError(f"unknown config key {key!r} in {path}")
         section, name = _KEYMAP[key]
-        _check_value_type(section, name, val)
-        sections[section][name] = val
+        sections[section][name] = _check_value_type(section, name, val)
 
     return Config(
         gcn=GCNConfig(**sections["gcn"]),

@@ -57,6 +57,22 @@ class ShardedGraph:
     ring: bool = False
     send_idx: np.ndarray | None = None  # int32 [n_dev, n_dev*halo_size]
     halo_size: int = 0  # rows per (src-device, dst-device) exchange slab
+    # Adaptive (push/pull) halo — partition_graph(adaptive=True): for each
+    # off-diagonal device pair (s=col owner, d=row owner) the exchange runs in
+    # whichever direction moves fewer rows. PULL pairs (unique source rows ≤
+    # unique dest rows) stay in row_local/col/val against the compact halo
+    # buffer as in the boundary layout. PUSH pairs move their edges to the
+    # SOURCE owner: device s computes partial sums over its local features
+    # (push_col: LOCAL source row; push_row: slot d·push_slab+k of the compact
+    # partial buffer), one all_to_all ships the partial ROWS, and the receiver
+    # scatter-adds them at push_recv[s·push_slab+k] (n_local = padding slot).
+    # Hub-heavy graphs (power-law degrees) pull enormous neighborhoods but
+    # push few rows — the per-pair choice bounds the slab by min(pull, push).
+    push_row: np.ndarray | None = None  # int32 [n_dev, e_push]
+    push_col: np.ndarray | None = None  # int32 [n_dev, e_push]
+    push_val: np.ndarray | None = None  # float32 [n_dev, e_push]
+    push_recv: np.ndarray | None = None  # int32 [n_dev, n_dev*push_slab]
+    push_slab: int = 0
 
     @property
     def n_nodes_pad(self) -> int:
@@ -146,8 +162,93 @@ def _remap_cols_boundary(col_s, val_s, n_dev, n_local):
     return col_new, send_idx, H
 
 
+def _adaptive_pair_modes(rows, cols, n_dev, n_local):
+    """Per-pair push/pull classification for the adaptive halo.
+
+    For each off-diagonal (src-device s, dst-device d) pair, counts the
+    unique SOURCE rows the pull exchange would ship (raw feature rows s→d)
+    against the unique DEST rows the push exchange would ship (partial-sum
+    rows s→d) and picks the smaller. Returns ``mode_push`` [n_dev, n_dev]
+    (True where push wins — strictly smaller, so ties keep the simpler pull).
+    """
+    n_pad = n_dev * n_local
+    dev_r = rows // n_local
+    dev_c = cols // n_local
+    off = dev_r != dev_c
+    pair = (dev_c[off] * n_dev + dev_r[off]).astype(np.int64)
+    pull_cnt = np.bincount(
+        np.unique(pair * n_pad + cols[off]) // n_pad, minlength=n_dev * n_dev
+    )
+    push_cnt = np.bincount(
+        np.unique(pair * n_pad + rows[off]) // n_pad, minlength=n_dev * n_dev
+    )
+    mode_push = (push_cnt < pull_cnt) & (push_cnt > 0)
+    # the all_to_all slabs pad every pair to the max of its category, so the
+    # exchange footprint is max(pull-chosen) + max(push-chosen) rows — only
+    # split the traffic when that actually beats the pure-pull max (dense
+    # graphs with near-uniform pair sizes would otherwise pay BOTH maxes)
+    mixed = (
+        int(pull_cnt[~mode_push].max(initial=0))
+        + int(push_cnt[mode_push].max(initial=0))
+    )
+    if mixed >= int(pull_cnt.max(initial=0)):
+        mode_push[:] = False
+    return mode_push.reshape(n_dev, n_dev)
+
+
+def _build_push_slabs(rows, cols, vals, n_dev, n_local):
+    """Per-SOURCE-device slabs for the push edges (see ShardedGraph docstring).
+
+    Edges are laid out sorted by (src device, dst device, dst row) so
+    ``push_row`` ascends within each device slab (segment_sum keeps its
+    sorted-ids fast path). Returns
+    (push_row, push_col, push_val, push_recv, push_slab)."""
+    n_pad = n_dev * n_local
+    dev_r = (rows // n_local).astype(np.int64)
+    dev_c = (cols // n_local).astype(np.int64)
+    pair = dev_c * n_dev + dev_r
+    key = pair * n_pad + rows  # sorts by (src dev, dst dev, dst row)
+    uniq, inv = np.unique(key, return_inverse=True)
+    upair = uniq // n_pad
+    pair_start = np.searchsorted(upair, np.arange(n_dev * n_dev))
+    slot = np.arange(len(uniq)) - pair_start[upair]
+    per_pair = np.bincount(upair, minlength=n_dev * n_dev)
+    push_slab = pad_to_multiple(max(int(per_pair.max()), 1), 8)
+
+    order = np.argsort(key, kind="stable")
+    src_dev = dev_c[order]
+    e_cnt = np.bincount(src_dev, minlength=n_dev)
+    e_push = pad_to_multiple(max(int(e_cnt.max()), 1), 128)
+    starts = np.zeros(n_dev, np.int64)
+    np.cumsum(e_cnt[:-1], out=starts[1:])
+    pos = np.arange(len(order)) - starts[src_dev]
+
+    # padding: val 0 into the LAST slot (keeps push_row ascending per device
+    # for segment_sum's sorted-ids fast path) — a zero contribution to a
+    # (possibly real) partial row, like the COO slabs' val-0 padding edges
+    push_row = np.full((n_dev, e_push), n_dev * push_slab - 1, np.int32)
+    push_col = np.zeros((n_dev, e_push), np.int32)
+    push_val = np.zeros((n_dev, e_push), np.float32)
+    push_row[src_dev, pos] = (
+        dev_r[order] * push_slab + slot[inv[order]]
+    ).astype(np.int32)
+    push_col[src_dev, pos] = (cols[order] - src_dev * n_local).astype(np.int32)
+    push_val[src_dev, pos] = vals[order]
+
+    # receiver map: slot k of the slab from device s lands at local dst row
+    # push_recv[d, s*push_slab + k]; unused slots point at the n_local dump
+    # row (scatter mode='drop')
+    push_recv = np.full((n_dev, n_dev * push_slab), n_local, np.int32)
+    s_u, d_u = upair // n_dev, upair % n_dev
+    push_recv[d_u, s_u * push_slab + slot] = (
+        uniq % n_pad - d_u * n_local
+    ).astype(np.int32)
+    return push_row, push_col, push_val, push_recv, int(push_slab)
+
+
 def partition_graph(
-    csr: HostCSR, n_dev: int, node_pad: int = 8, boundary: bool = False
+    csr: HostCSR, n_dev: int, node_pad: int = 8, boundary: bool = False,
+    adaptive: bool = False,
 ) -> ShardedGraph:
     """Split a host CSR into ``n_dev`` contiguous row blocks.
 
@@ -156,13 +257,33 @@ def partition_graph(
     to 128. ``boundary=True`` precomputes the per-device boundary index sets
     and rewrites columns against the compact local+halo buffer (SURVEY.md
     §7.7's halo design; pairs with train_parallel's all_to_all exchange).
+    ``adaptive=True`` (implies boundary) additionally re-routes each device
+    PAIR's edges in whichever direction ships fewer rows — pull raw feature
+    rows or push partial sums (see the ShardedGraph docstring); on hub-heavy
+    graphs this bounds the exchange slab by min(pull, push) per pair.
     """
     n_local = pad_to_multiple(-(-csr.n_rows // n_dev), node_pad)
     n_pad = n_local * n_dev
 
+    rows = csr.row_ids().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    vals = csr.values
+
+    push = (None, None, None, None, 0)
+    if adaptive:
+        boundary = True
+        mode_push = _adaptive_pair_modes(rows, cols, n_dev, n_local)
+        is_push = mode_push[cols // n_local, rows // n_local]
+        if is_push.any():
+            push = _build_push_slabs(
+                rows[is_push], cols[is_push], vals[is_push], n_dev, n_local
+            )
+            # pull part keeps row-sorted order (sorted-subset)
+            rows, cols, vals = rows[~is_push], cols[~is_push], vals[~is_push]
+
     # CSR expansion is row-sorted already
     row_local, col, val = _slice_coo_by_dest(
-        csr.row_ids(), csr.indices, csr.values, n_dev, n_local, n_pad
+        rows, cols, vals, n_dev, n_local, n_pad
     )
 
     send_idx, halo = None, 0
@@ -179,6 +300,8 @@ def partition_graph(
         n_real_edges=csr.nnz,
         send_idx=send_idx,
         halo_size=halo,
+        push_row=push[0], push_col=push[1], push_val=push[2],
+        push_recv=push[3], push_slab=push[4],
     )
 
 

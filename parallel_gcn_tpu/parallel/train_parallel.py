@@ -180,6 +180,35 @@ def graphsum_dist(x_local, row_local, col, val, n_local, axis=AXIS,
     )
 
 
+def graphsum_dist_adaptive(x_local, row_local, col, val, prow, pcol, pval,
+                           precv, n_local, axis=AXIS, send_idx=None):
+    """Distributed Â·x with the per-pair PUSH/PULL halo
+    (partition_graph(adaptive=True)).
+
+    Pull pairs + local edges ride the boundary machinery (compact
+    local+halo buffer via one all_to_all of raw feature rows). Push pairs are
+    owned by the SOURCE device: it partial-sums its local features into the
+    compact slot buffer (prow = dst_dev·push_slab + slot), a second
+    all_to_all ships the partial ROWS, and the receiver scatter-adds them at
+    precv (padding slots point past n_local and drop). On hub-heavy graphs
+    this bounds each exchange slab by min(pull, push) per pair — the hub
+    owner's halo collapses from "every hub neighborhood" to "one partial row
+    per hub". Autodiff transposes the whole pipeline exactly (take↔scatter-
+    add, all_to_all reverses, segment_sum↔gather), and the global operator
+    stays Â·x, so the symmetric-Â VJP shortcut upstream remains valid.
+    """
+    out = graphsum_dist(x_local, row_local, col, val, n_local, axis,
+                        send_idx=send_idx)
+    contrib = pval[:, None].astype(x_local.dtype) * x_local[pcol]
+    part = jax.ops.segment_sum(
+        contrib, prow, num_segments=precv.shape[0], indices_are_sorted=True
+    )
+    recv = jax.lax.all_to_all(
+        part, axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    return out.at[precv].add(recv.astype(out.dtype), mode="drop")
+
+
 def _agg_hybrid_impl(x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
                      n_local, n_buf, axis):
     from parallel_gcn_tpu.ops.pallas_bcsr import BCSR, bcsr_matmul_rect
@@ -323,8 +352,8 @@ def _masked_ce_local(logits_local, labels_local, mask_local, num_samples,
                      axis=AXIS):
     """Masked softmax-CE + accuracy over the mesh: the shared row-wise core
     (ops.loss.masked_softmax_xent_sums — one source of truth for the
-    max-subtraction/LSE/one-hot-select expression and the tie-counts-as-
-    correct trick) reduced with psum across the node shards."""
+    max-subtraction/LSE/one-hot-select expression and the argmax==label
+    accuracy count) reduced with psum across the node shards."""
     from parallel_gcn_tpu.ops.loss import masked_softmax_xent_sums
 
     loss_sum, correct = masked_softmax_xent_sums(
@@ -360,6 +389,7 @@ def _make_forward(cfg: Config, sgraph):
     ring = (not hybrid) and sgraph.ring
     n_buf = sgraph.n_buf
     boundary = sgraph.send_idx is not None
+    adaptive = (not hybrid) and getattr(sgraph, "push_slab", 0) > 0
     scaled = hybrid and sgraph.sym_scale is not None
     precision = cfg.tpu.matmul_precision
     residual = cfg.gcn.residual
@@ -369,9 +399,18 @@ def _make_forward(cfg: Config, sgraph):
 
     def _aggregate(h, graph_args):
         # graph_args order matches _graph_specs: base arrays, then sym_scale
-        # (int8 packs), then send_idx (boundary halo) — peel statically
+        # (int8 packs), then send_idx (boundary halo), then the push group
+        # (adaptive halo) — peel statically
         args = list(graph_args)
+        push_args = None
+        if adaptive:
+            push_args = args[-4:]
+            del args[-4:]
         send = args.pop() if boundary else None
+        if push_args is not None:
+            return graphsum_dist_adaptive(
+                h, *args, *push_args, n_local, send_idx=send
+            )
         if hybrid:
             if scaled:
                 d = args.pop()
@@ -636,7 +675,7 @@ def _graph_specs(sgraph):
 
     Order contract (mirrored by _make_forward._aggregate): base arrays, then
     sym_scale when present (int8 packs), then send_idx when present (boundary
-    halo)."""
+    halo), then the push group when present (adaptive halo)."""
     if isinstance(sgraph, HybridShardedGraph):
         arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
@@ -654,6 +693,10 @@ def _graph_specs(sgraph):
     if sgraph.send_idx is not None:
         arrays = arrays + (sgraph.send_idx,)
         specs = specs + (P(AXIS, None),)
+    if getattr(sgraph, "push_slab", 0):
+        arrays = arrays + (sgraph.push_row, sgraph.push_col,
+                           sgraph.push_val, sgraph.push_recv)
+        specs = specs + (P(AXIS, None),) * 4
     return specs, arrays
 
 
@@ -817,6 +860,12 @@ def make_parallel_run(
     where x_train/x_eval are row-sharded (pre-aggregated per the
     train_preagg/eval_preagg flags) and metrics/epochs_run are replicated.
     """
+    # same invariant GCNModel.apply asserts: Â·(drop(X)·W0) ≠ drop(Â·X)·W0,
+    # so the train-side hoist is only an exact rewrite with zero input dropout
+    assert not (train_preagg and cfg.gcn.dropouts[0] > 0), (
+        "train_preagg requires input dropout 0 (the hoist is not exact "
+        "under dropout; see train.preaggregate_input)"
+    )
     adam = cfg.adam
     wd = adam.weight_decay
     tp = max(cfg.tpu.tp, 1)
@@ -1002,8 +1051,9 @@ def fit_parallel(
 
     ``halo``: "all_gather" (full remote feature gather), "boundary"
     (all_to_all of only the referenced remote rows/tile-blocks — memory
-    scales as N/D + halo), or "ring" (ppermute block rotation; COO backends).
-    Defaults from cfg.tpu.halo.
+    scales as N/D + halo), "adaptive" (boundary + per-pair push of partial
+    sums where that ships fewer rows; COO backends), or "ring" (ppermute
+    block rotation; COO backends). Defaults from cfg.tpu.halo.
 
     Feature parity with the single-chip fit: cfg.train.mode="scan" (default)
     runs the fused whole-run program (make_parallel_run — on-device early
@@ -1037,13 +1087,13 @@ def fit_parallel(
     verbose = cfg.train.verbose if verbose is None else verbose
 
     if cfg.tpu.backend in ("hybrid", "bcsr"):
-        if halo == "ring":
+        if halo in ("ring", "adaptive"):
             raise ValueError(
                 "backend=hybrid/bcsr uses per-device tile slabs against the "
-                "all_gather or boundary halo; the ppermute ring is only "
-                "available with the COO backends (set backend=segment for "
-                "halo=ring, or halo=boundary to keep the tile slabs AND "
-                "memory scaling)"
+                "all_gather or boundary halo; the ppermute ring and the "
+                "adaptive push/pull exchange are only available with the COO "
+                "backends (set backend=segment, or halo=boundary to keep the "
+                "tile slabs AND memory scaling)"
             )
         # tile-accelerated per-device aggregation
         tile_dtype = cfg.tpu.tile_dtype
@@ -1066,7 +1116,8 @@ def fit_parallel(
     else:
         sgraph = partition_graph(ds.graph, n_devices,
                                  node_pad=cfg.tpu.node_pad,
-                                 boundary=halo == "boundary")
+                                 boundary=halo == "boundary",
+                                 adaptive=halo == "adaptive")
     mesh = make_mesh(n_devices, tp=tp)
     x, labels, split = shard_dataset(ds, sgraph)
     x_dev, labels_dev, split_dev, *graph_dev = device_put_sharded_inputs(
@@ -1124,74 +1175,22 @@ def fit_parallel(
     if cfg.train.mode == "scan":
         import copy
 
-        from parallel_gcn_tpu.train import _advance_key
+        from parallel_gcn_tpu.train import _drive_scan_run
 
-        scan_cfg = cfg
-        remaining = max(cfg.gcn.epochs - start_epoch, 0)
-        if start_epoch:
-            # resumed: train only the REMAINING epochs (the fused program's
-            # trip count is static)
-            scan_cfg = copy.deepcopy(cfg)
-            scan_cfg.gcn.epochs = remaining
-            if 0 < remaining < cfg.gcn.early_stopping and verbose:
-                print(
-                    f"warning: {remaining} epochs remain after resume but the "
-                    f"early_stopping window needs {cfg.gcn.early_stopping} "
-                    "post-resume val losses — the stopping rule cannot fire "
-                    "on this tail"
-                )
         data_args = (x_train_dev, x_eval_dev, labels_dev, split_dev,
                      *graph_dev)
-        ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
-        if ckpt_every and cfg.gcn.early_stopping:
-            ckpt_every = 0
-            if verbose:
-                print(
-                    "warning: scan-mode periodic checkpoints require "
-                    "early_stopping=0 (fused chunks would reset the stopping "
-                    "window); only ckpt_final.npz will be written — use "
-                    "mode=eager for periodic checkpoints with early stopping"
-                )
-        if ckpt_every and remaining > ckpt_every:
-            # chunked fused run (exact on the static schedule) — see
-            # train.fit's scan branch
-            from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
 
-            seg_rows, done = [], 0
-            while done < remaining:
-                n = min(ckpt_every, remaining - done)
-                seg_cfg = copy.deepcopy(scan_cfg)
-                seg_cfg.gcn.epochs = n
-                run = make_parallel_run(seg_cfg, mesh, sgraph, counts,
-                                        train_preagg, eval_preagg)
-                weights, opt_state, m, _ = run(
-                    weights, opt_state, key, *data_args
-                )
-                key = _advance_key(key, n)
-                done += n
-                seg_rows.append(np.asarray(m))
-                if done < remaining:  # the tail is covered by ckpt_final
-                    save_checkpoint(
-                        _os.path.join(
-                            ckpt_dir, f"ckpt_{start_epoch + done:06d}.npz"
-                        ),
-                        weights, opt_state, start_epoch + done, key,
-                    )
-            history = (
-                np.concatenate(seg_rows)
-                if seg_rows else np.zeros((0, 4), np.float32)
-            )
-            epochs_run = done
-        else:
-            run = make_parallel_run(scan_cfg, mesh, sgraph, counts,
+        def build_run(n_epochs):
+            seg_cfg = copy.deepcopy(cfg)
+            seg_cfg.gcn.epochs = n_epochs
+            run = make_parallel_run(seg_cfg, mesh, sgraph, counts,
                                     train_preagg, eval_preagg)
-            weights, opt_state, metrics, epochs_run = run(
-                weights, opt_state, key, *data_args
-            )
-            epochs_run = int(epochs_run)
-            history = np.asarray(metrics)[:epochs_run]
-            if ckpt_dir:
-                key = _advance_key(key, epochs_run)
+            return lambda w, o, k: run(w, o, k, *data_args)
+
+        weights, opt_state, history, epochs_run, key = _drive_scan_run(
+            build_run, weights, opt_state, key, cfg, start_epoch,
+            ckpt_dir, verbose,
+        )
         if verbose:
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]
@@ -1199,7 +1198,7 @@ def fit_parallel(
                     f"epoch={start_epoch + e + 1} train_loss={tl:.5f} "
                     f"train_acc={ta:.5f} val_loss={vl:.5f} val_acc={va:.5f}"
                 )
-            if epochs_run < scan_cfg.gcn.epochs:
+            if start_epoch + epochs_run < cfg.gcn.epochs:
                 print("Early stopping...")
     else:
         step = make_parallel_epoch_step(cfg, mesh, sgraph, counts)

@@ -311,6 +311,83 @@ def _advance_key(key, n):
     return jax.lax.fori_loop(0, n, lambda i, k: jax.random.split(k)[0], key)
 
 
+def _drive_scan_run(build_run, weights, opt_state, key, cfg, start_epoch,
+                    ckpt_dir, verbose):
+    """Shared scan-mode driver for fit and fit_parallel: runs the fused
+    whole-run program, optionally chunked at ``checkpoint_every`` (exact on
+    static schedules — the inter-chunk `_advance_key` replays the per-epoch
+    key splits), writing intermediate checkpoints to ``ckpt_dir``.
+
+    ``build_run(n_epochs)`` returns a fused run callable
+    ``(weights, opt_state, key) -> (weights, opt_state, metrics, epochs_run)``
+    for a static trip count of ``n_epochs`` (mesh callers close over their
+    data args). Built runs are cached per length, so a 1000-epoch run chunked
+    at 10 builds two programs, not 100.
+
+    Returns ``(weights, opt_state, history, epochs_run, key)`` — ``key``
+    advanced past the executed epochs when checkpoints are in play.
+    """
+    import warnings
+
+    remaining = max(cfg.gcn.epochs - start_epoch, 0)
+    if start_epoch and 0 < remaining < cfg.gcn.early_stopping and verbose:
+        print(
+            f"warning: {remaining} epochs remain after resume but the "
+            f"early_stopping window needs {cfg.gcn.early_stopping} "
+            "post-resume val losses — the stopping rule cannot fire "
+            "on this tail"
+        )
+    ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
+    if ckpt_every and cfg.gcn.early_stopping:
+        ckpt_every = 0
+        # a multi-hour run silently losing its periodic checkpoints must be
+        # heard regardless of verbosity
+        warnings.warn(
+            "scan-mode periodic checkpoints require early_stopping=0 (fused "
+            "chunks would reset the stopping window); only ckpt_final.npz "
+            "will be written — use mode=eager for periodic checkpoints with "
+            "early stopping",
+            stacklevel=3,
+        )
+
+    runs: dict[int, object] = {}  # fused program per distinct chunk length
+
+    def run_for(n):
+        if n not in runs:
+            runs[n] = build_run(n)
+        return runs[n]
+
+    if ckpt_every and remaining > ckpt_every:
+        from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+
+        seg_rows, done = [], 0
+        while done < remaining:
+            n = min(ckpt_every, remaining - done)
+            weights, opt_state, m, _ = run_for(n)(weights, opt_state, key)
+            key = _advance_key(key, n)
+            done += n
+            seg_rows.append(np.asarray(m))
+            if done < remaining:  # the tail is covered by ckpt_final
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"ckpt_{start_epoch + done:06d}.npz"),
+                    weights, opt_state, start_epoch + done, key,
+                )
+        history = (
+            np.concatenate(seg_rows)
+            if seg_rows else np.zeros((0, 4), np.float32)
+        )
+        epochs_run = done
+    else:
+        weights, opt_state, metrics, epochs_run = run_for(remaining)(
+            weights, opt_state, key
+        )
+        epochs_run = int(epochs_run)
+        history = np.asarray(metrics)[:epochs_run]
+        if ckpt_dir:
+            key = _advance_key(key, epochs_run)
+    return weights, opt_state, history, epochs_run, key
+
+
 def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
     """The fused whole-run jit: lax.while_loop over epochs with on-device early
     stopping. Returns (weights, opt, metrics[epochs,4], epochs_run).
@@ -548,67 +625,17 @@ def fit(
     if cfg.train.mode == "scan":
         import copy
 
-        scan_cfg = cfg
-        remaining = max(cfg.gcn.epochs - start_epoch, 0)
-        if start_epoch:
-            # resumed: train only the REMAINING epochs (the eager loop does
-            # this via its range; the fused program's trip count is static)
-            scan_cfg = copy.deepcopy(cfg)
-            scan_cfg.gcn.epochs = remaining
-            if 0 < remaining < cfg.gcn.early_stopping and verbose:
-                print(
-                    f"warning: {remaining} epochs remain after resume but the "
-                    f"early_stopping window needs {cfg.gcn.early_stopping} "
-                    "post-resume val losses — the stopping rule cannot fire "
-                    "on this tail"
-                )
-        ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
-        if ckpt_every and cfg.gcn.early_stopping:
-            ckpt_every = 0
-            if verbose:
-                print(
-                    "warning: scan-mode periodic checkpoints require "
-                    "early_stopping=0 (fused chunks would reset the stopping "
-                    "window); only ckpt_final.npz will be written — use "
-                    "mode=eager for periodic checkpoints with early stopping"
-                )
-        if ckpt_every and remaining > ckpt_every:
-            # run the fused program in checkpoint_every-sized chunks: with a
-            # static schedule (early_stopping=0) chunking is numerically
-            # exact, and at most two distinct chunk lengths compile
-            from parallel_gcn_tpu.utils.checkpoint import save_checkpoint
+        def build_run(n_epochs):
+            # the fused program's trip count is static — derive a config for
+            # exactly the epochs this (chunk of the) run will execute
+            seg_cfg = copy.deepcopy(cfg)
+            seg_cfg.gcn.epochs = n_epochs
+            return _make_scan_run(model, seg_cfg, dds)
 
-            seg_rows, done = [], 0
-            while done < remaining:
-                n = min(ckpt_every, remaining - done)
-                seg_cfg = copy.deepcopy(scan_cfg)
-                seg_cfg.gcn.epochs = n
-                run = _make_scan_run(model, seg_cfg, dds)
-                weights, opt_state, m, _ = run(weights, opt_state, key)
-                key = _advance_key(key, n)
-                done += n
-                seg_rows.append(np.asarray(m))
-                if done < remaining:  # the tail is covered by ckpt_final
-                    save_checkpoint(
-                        os.path.join(
-                            ckpt_dir, f"ckpt_{start_epoch + done:06d}.npz"
-                        ),
-                        weights, opt_state, start_epoch + done, key,
-                    )
-            history = (
-                np.concatenate(seg_rows)
-                if seg_rows else np.zeros((0, 4), np.float32)
-            )
-            epochs_run = done
-        else:
-            run = _make_scan_run(model, scan_cfg, dds)
-            weights, opt_state, metrics, epochs_run = run(
-                weights, opt_state, key
-            )
-            epochs_run = int(epochs_run)
-            history = np.asarray(metrics)[:epochs_run]
-            if ckpt_dir:
-                key = _advance_key(key, epochs_run)
+        weights, opt_state, history, epochs_run, key = _drive_scan_run(
+            build_run, weights, opt_state, key, cfg, start_epoch,
+            ckpt_dir, verbose,
+        )
         if verbose:
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]
@@ -616,7 +643,7 @@ def fit(
                     f"epoch={start_epoch + e + 1} train_loss={tl:.5f} "
                     f"train_acc={ta:.5f} val_loss={vl:.5f} val_acc={va:.5f}"
                 )
-            if epochs_run < scan_cfg.gcn.epochs:
+            if start_epoch + epochs_run < cfg.gcn.epochs:
                 print("Early stopping...")
     else:
         epoch_step = make_epoch_step(model, cfg, dds)

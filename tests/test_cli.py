@@ -58,6 +58,16 @@ def test_cli_unknown_key_is_hard_error(capsys):
     assert "unknown config key" in capsys.readouterr().out
 
 
+@requires_cora
+def test_cli_integral_float_override_coerces_to_int(capsys):
+    """epochs=2.0 is accepted as the int 2 (coerced at parse time) — it must
+    not reach range()/lax.scan as a float and crash deep in training."""
+    rc = main(["cora", "epochs=2.0", "early_stopping=0", "mode=eager",
+               "verbose=true"])
+    assert rc == 0
+    assert "epoch=2" in capsys.readouterr().out
+
+
 def test_tpu_config_validates_backend_and_reorder():
     """A typo'd layout knob (e.g. reorder='comunity') must raise, not silently
     run a different layout (ADVICE.md round 1)."""

@@ -339,6 +339,118 @@ def test_graphsum_dist_boundary_matches_single_device(n_dev):
     np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-4)
 
 
+def _hub_csr(n=240, w=2, n_hubs=3):
+    """Power-law fixture: a banded graph plus ``n_hubs`` nodes adjacent to
+    everything. The hub owner's PULL halo is every remote neighborhood (≈ the
+    whole graph); its PUSH slab is just the hub rows — exactly the asymmetry
+    the adaptive halo exists for."""
+    from parallel_gcn_tpu.data.graph import add_self_loops_csr
+
+    lists = []
+    for i in range(n):
+        nb = {j for j in range(max(0, i - w), min(n, i + w + 1)) if j != i}
+        nb |= set(range(n_hubs)) if i >= n_hubs else set(range(n)) - {i}
+        lists.append(np.array(sorted(nb), dtype=np.int32))
+    return add_self_loops_csr(lists)
+
+
+def test_adaptive_partition_mixes_modes_and_covers_edges():
+    """adaptive=True must (a) classify hub-dominated pairs as push, (b) keep
+    every edge exactly once across the pull+push slabs, and (c) shrink the
+    exchange footprint vs the pure-pull boundary layout."""
+    csr = _hub_csr()
+    n_dev = 4
+    sg = partition_graph(csr, n_dev, boundary=True, adaptive=True)
+    sgb = partition_graph(csr, n_dev, boundary=True)
+    assert sg.push_slab > 0 and sg.push_row is not None
+    # exchange slabs shrink: pulled rows + pushed partial rows < pure pull
+    assert sg.halo_size + sg.push_slab < sgb.halo_size
+
+    # edge coverage: reconstruct global (row, col, val) from both slab kinds
+    rows_g, cols_g, vals_g = [], [], []
+    for d in range(n_dev):
+        live = sg.val[d] != 0
+        rows_g.append(sg.row_local[d][live] + d * sg.n_local)
+        # pull cols index the compact buffer — invert via send_idx
+        c = sg.col[d][live].astype(np.int64)
+        H = sg.halo_size
+        local = c < sg.n_local
+        src_dev = np.where(local, d, (c - sg.n_local) // H)
+        slot = np.where(local, c, (c - sg.n_local) % H)
+        sent = sg.send_idx[src_dev, d * H + np.where(local, 0, slot)]
+        cols_g.append(
+            np.where(local, c + d * sg.n_local, sent + src_dev * sg.n_local)
+        )
+        vals_g.append(sg.val[d][live])
+    for s in range(n_dev):
+        live = sg.push_val[s] != 0
+        pr = sg.push_row[s][live].astype(np.int64)
+        dst_dev, slot = pr // sg.push_slab, pr % sg.push_slab
+        loc = sg.push_recv[dst_dev, s * sg.push_slab + slot]
+        assert (loc < sg.n_local).all()  # live edges never hit the dump slot
+        rows_g.append(loc + dst_dev * sg.n_local)
+        cols_g.append(sg.push_col[s][live] + s * sg.n_local)
+        vals_g.append(sg.push_val[s][live])
+    rows_g = np.concatenate(rows_g).astype(np.int64)
+    cols_g = np.concatenate(cols_g).astype(np.int64)
+    key = rows_g * sg.n_nodes_pad + cols_g
+    order = np.argsort(key)
+    ref = csr.row_ids().astype(np.int64) * sg.n_nodes_pad + csr.indices
+    ref_order = np.argsort(ref)
+    np.testing.assert_array_equal(key[order], ref[ref_order])
+    np.testing.assert_allclose(
+        np.concatenate(vals_g)[order], csr.values[ref_order]
+    )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_graphsum_dist_adaptive_matches_single_device(n_dev):
+    """Push/pull halo must reproduce the aggregation exactly — forward and
+    gradient (autodiff transposes both all_to_alls and the scatter-add)."""
+    from parallel_gcn_tpu.parallel.train_parallel import graphsum_dist_adaptive
+
+    csr = _hub_csr()
+    sg = partition_graph(csr, n_dev, adaptive=True)
+    assert sg.push_slab > 0
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((sg.n_nodes_pad, 16)).astype(np.float32)
+
+    g1 = build_graph(csr, n_nodes_pad=sg.n_nodes_pad)
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
+
+    specs = (P(AXIS, None),) * 9
+
+    def agg(x, r, c, v, pr, pc, pv, precv, s):
+        return graphsum_dist_adaptive(
+            x, r[0], c[0], v[0], pr[0], pc[0], pv[0], precv[0],
+            sg.n_local, send_idx=s[0],
+        )
+
+    fn = jax.jit(jax.shard_map(
+        agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+        check_vma=False,
+    ))
+    args = (sg.row_local, sg.col, sg.val, sg.push_row, sg.push_col,
+            sg.push_val, sg.push_recv, sg.send_idx)
+    out = np.asarray(fn(x, *args))
+    np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5)
+
+    adj = np.zeros((sg.n_nodes_pad, sg.n_nodes_pad), np.float32)
+    adj[csr.row_ids(), csr.indices] = csr.values
+    cot = rng.standard_normal(x.shape).astype(np.float32)
+    expected_grad = adj.T @ cot
+    grad = np.asarray(jax.jit(jax.grad(
+        lambda x: jnp.sum(jax.shard_map(
+            agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+            check_vma=False,
+        )(x, *args) * cot)
+    ))(jnp.asarray(x)))
+    np.testing.assert_allclose(grad, expected_grad, rtol=2e-5, atol=2e-4)
+
+
 def _banded_csr(n, w):
     """Locality fixture: node i ~ nodes i±1..w (no wraparound) — tiny
     boundary sets between contiguous row blocks."""
@@ -534,6 +646,7 @@ def test_balance_flattens_hub_slabs():
 @pytest.mark.parametrize("backend,halo,es,tile_dtype,preagg", [
     ("segment", "all_gather", 0, "auto", False),
     ("segment", "boundary", 8, "auto", False),   # while_loop early stopping
+    ("segment", "adaptive", 0, "auto", False),   # push/pull exchange
     ("hybrid", "boundary", 0, "auto", False),    # fused deferred eval
     ("hybrid", "boundary", 0, "int8", True),     # + input preagg hoist
 ])
@@ -624,7 +737,7 @@ def test_fit_parallel_scan_checkpoint_and_resume(tmp_path):
     assert resumed.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
 
 
-@pytest.mark.parametrize("halo", ["all_gather", "boundary", "ring"])
+@pytest.mark.parametrize("halo", ["all_gather", "boundary", "adaptive", "ring"])
 def test_fit_parallel_end_to_end(halo):
     """The complete multi-chip driver: trains, evaluates test, early-stops."""
     from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
@@ -907,6 +1020,20 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
     # hybrid needs >= 2 tile-row blocks per device (8 dev × 128-row tiles)
     # or slab balancing has no freedom and the imbalance warning fires
     ds = _dataset(n=2048) if backend == "hybrid" else _dataset()
+    if halo == "adaptive":
+        # the uniform random graph can classify every pair as pull (pulling
+        # nothing through the push path) — the hub fixture guarantees both
+        # directions appear, which is the structure this count pins
+        csr = _hub_csr()
+        rng = np.random.default_rng(0)
+        n, c = csr.n_rows, 3
+        labels = rng.integers(0, c, n).astype(np.int32)
+        feats = rng.standard_normal((n, 12)).astype(np.float32)
+        split = rng.choice([1, 2, 3], size=n, p=[0.5, 0.25, 0.25]).astype(np.int32)
+        ds = Dataset(
+            name="hub", graph=csr, feature_csr=None, features=feats,
+            labels=labels, split=split, n_nodes=n, input_dim=12, output_dim=c,
+        )
     counts_split = {s: int((ds.split == s).sum()) for s in (1, 2, 3)}
     nd = 4 if tp > 1 else 8
     mesh = make_mesh(nd, tp=tp)
@@ -918,7 +1045,8 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
     elif halo == "ring":
         sg = partition_graph_ring(ds.graph, nd)
     else:
-        sg = partition_graph(ds.graph, nd, boundary=halo == "boundary")
+        sg = partition_graph(ds.graph, nd, boundary=halo == "boundary",
+                             adaptive=halo == "adaptive")
     cfg = Config(
         gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
                       epochs=1, early_stopping=0),
@@ -965,6 +1093,11 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
         ("ring", 1, "segment",
          {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 6,
           "all-to-all": 0}),
+        # adaptive halo: each agg site = pull all_to_all + push all_to_all
+        # (and their transposes are all_to_alls too) — still no full gather.
+        ("adaptive", 1, "segment",
+         {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 0,
+          "all-to-all": 12}),
         # TP on a 4x2 mesh: node-axis structure unchanged; the feat-axis
         # last-layer psums + sharded-W0 L2 psums add all-reduces only.
         ("all_gather", 2, "segment",
