@@ -5,7 +5,8 @@
 
 PY ?= python
 
-.PHONY: test run-cora run-citeseer run-pubmed run-reddit run-products bench perf accuracy \
+.PHONY: test run-cora run-citeseer run-pubmed run-reddit run-products \
+        run-cora-gat run-citeseer-gat scale-demo bench perf accuracy \
         tuning layout golden scaling plots native clean
 
 test:
@@ -28,6 +29,19 @@ run-reddit:
 # beyond-reference scale demo (ogbn-products scale, 2.45M nodes / 126M edges)
 run-products:
 	$(PY) -m parallel_gcn_tpu synth-products
+
+# beyond-reference model family: GAT (models/gat.py, arXiv:1710.10903) on the
+# same data layer + trainer; paper-style config (8 heads x 8 per-head dims)
+GAT_ARGS = model=gat heads=8 hidden_dims=8 dropouts=0.6,0.6 attn_dropout=0.6 \
+           learning_rate=0.005 epochs=300 early_stopping=30
+run-cora-gat:
+	$(PY) -m parallel_gcn_tpu cora $(GAT_ARGS)
+run-citeseer-gat:
+	$(PY) -m parallel_gcn_tpu citeseer $(GAT_ARGS) compute_dtype=float32
+
+# products-scale multi-chip memory demonstration (adaptive push/pull halo)
+scale-demo:
+	$(PY) harness/scale_demo.py synth-products --devices 8 --step-hidden 64
 
 bench:
 	$(PY) bench.py

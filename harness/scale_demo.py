@@ -80,6 +80,13 @@ def main() -> int:
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--skip-step", action="store_true",
                     help="memory accounting only (skip the executed step)")
+    ap.add_argument("--step-hidden", type=int, default=0,
+                    help="hidden width for the EXECUTED step only (0 = the "
+                    "config width). The host emulating the mesh holds every "
+                    "virtual device's transient [e_local, H] scatter "
+                    "operands at once — narrower H keeps the functional "
+                    "validation inside host RAM; the memory table above "
+                    "always reports the config width.")
     args = ap.parse_args()
     n_dev = args.devices
 
@@ -181,6 +188,8 @@ def main() -> int:
         print(ln, flush=True)
 
     if not args.skip_step:
+        if args.step_hidden:
+            cfg.gcn.hidden_dims = (args.step_hidden,) * (cfg.gcn.n_layers - 1)
         mesh = make_mesh(n_dev)
         x, labels, split = shard_dataset(ds, sg)
         inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
@@ -193,7 +202,8 @@ def main() -> int:
         w, opt, key, m = step(w, init_adam(w), key, *inputs)
         m = np.asarray(m)
         ok = bool(np.isfinite(m).all())
-        line = (f"executed 1 full sharded training step on the "
+        line = (f"executed 1 full sharded training step (H="
+                f"{cfg.gcn.hidden_dims[0]}) on the "
                 f"{n_dev}-device {jax.default_backend()} mesh in "
                 f"{time.time()-t0:.0f}s: train_loss={m[0]:.4f} "
                 f"train_acc={m[1]:.4f} val_loss={m[2]:.4f} val_acc={m[3]:.4f} "

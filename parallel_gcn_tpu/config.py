@@ -65,8 +65,15 @@ class GCNConfig:
     epochs: int = 100
     early_stopping: int = 0
     residual: bool = False  # -DRESIDUAL_CONNECTIONS (include/module.cuh:149)
+    # model family: gcn (reference parity) or gat (models/gat.py — attention
+    # aggregation; hidden_dims are then PER-HEAD widths)
+    model: str = "gcn"
+    heads: int = 8  # GAT attention heads (paper cora config)
+    attn_dropout: float = 0.0  # GAT: dropout on normalized attention coeffs
 
     def __post_init__(self):
+        if self.model not in ("gcn", "gat"):
+            raise ValueError(f"model must be gcn|gat, got {self.model!r}")
         if isinstance(self.hidden_dims, (int, float)):
             self.hidden_dims = (int(self.hidden_dims),)
         self.hidden_dims = tuple(int(h) for h in self.hidden_dims)
@@ -251,6 +258,9 @@ _KEYMAP = {
     "epochs": ("gcn", "epochs"),
     "early_stopping": ("gcn", "early_stopping"),
     "residual": ("gcn", "residual"),
+    "model": ("gcn", "model"),
+    "heads": ("gcn", "heads"),
+    "attn_dropout": ("gcn", "attn_dropout"),
     "learning_rate": ("adam", "learning_rate"),
     "weight_decay": ("adam", "weight_decay"),
     "beta1": ("adam", "beta1"),

@@ -191,3 +191,44 @@ def golden_adam_step(
             )
         )
     return new_weights
+
+
+def golden_gat_forward(
+    params: list[dict],
+    x: np.ndarray,
+    graph: HostCSR,
+    heads: int,
+    leaky_slope: float = 0.2,
+):
+    """GAT forward oracle (no dropout): dense masked attention in NumPy —
+    an independent re-expression of models/gat.py (paper arXiv:1710.10903
+    eqs. 1-6: LeakyReLU edge logits from the a_src/a_dst decomposition,
+    per-destination softmax over N(i) ∪ {i}, heads concatenated on hidden
+    layers and averaged on the last)."""
+    n = csr_n = graph.n_rows
+    mask = np.zeros((n, n), dtype=bool)
+    mask[graph.row_ids(), graph.indices] = True  # self-loop-first CSR
+
+    h = x.astype(np.float32)
+    L = len(params)
+    for layer in range(L):
+        W = params[layer]["W"].astype(np.float32)
+        a_s = params[layer]["a_src"].astype(np.float32)
+        a_d = params[layer]["a_dst"].astype(np.float32)
+        d = a_s.shape[1]
+        hw = (h @ W).reshape(n, heads, d)
+        s = np.einsum("nhd,hd->nh", hw, a_s)
+        t = np.einsum("nhd,hd->nh", hw, a_d)
+        e = s.T[:, :, None] + t.T[:, None, :]  # [heads, dst, src]
+        e = np.where(e > 0, e, leaky_slope * e)
+        e = np.where(mask[None], e, np.float32(-1e9))
+        e = e - e.max(axis=-1, keepdims=True)
+        w_exp = np.exp(e)
+        alpha = w_exp / w_exp.sum(axis=-1, keepdims=True)
+        out = np.einsum("hij,jhd->ihd", alpha, hw)
+        if layer == L - 1:
+            h = out.mean(axis=1)
+        else:
+            h = out.reshape(csr_n, heads * d)
+            h = np.where(h > 0, h, np.expm1(h)).astype(np.float32)  # ELU
+    return h.astype(np.float32)

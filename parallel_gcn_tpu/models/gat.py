@@ -1,0 +1,200 @@
+"""Graph Attention Network (Veličković et al., arXiv:1710.10903).
+
+A second model family on the same data layer, trainer, and loss as the GCN
+(the reference framework is GCN-only — src/gcn.cu; this extends the TPU-native
+framework beyond it using the same architectural conventions: one params
+pytree, pure apply, Glorot init, no biases).
+
+Per layer (paper eqs. 1-6, with the standard two-vector decomposition of the
+attention MLP):
+
+    e_ij   = LeakyReLU(a_srcᵀ(W h_i) + a_dstᵀ(W h_j))        edge logits
+    α_ij   = softmax_j(e_ij)   over j ∈ N(i) ∪ {i}           per-dest softmax
+    h_i'   = ELU( ‖_k Σ_j α_ij^k (W^k h_j) )                 K heads concat
+    last layer: heads are AVERAGED, no nonlinearity (logits)
+
+Two aggregation backends mirror ops/graphsum.py's design split:
+
+- ``dense``: the masked [heads, N, N] attention matrix on the MXU — the edge
+  softmax is a plain masked row softmax and the aggregation one batched
+  matmul. The right shape for citation-scale graphs, exactly like the dense-Â
+  graphsum backend.
+- ``segment``: per-edge logits on the padded COO triplets with a
+  segment-max/exp/segment-sum softmax — O(E·heads) memory, the reddit-scale
+  path, mirroring the segment graphsum backend.
+
+The attention coefficients are data-dependent, so unlike the GCN there is no
+loop-invariant first aggregation (no input_preagg) and no deferred-eval lane
+stacking (train and eval lanes would need different attention matrices);
+GATModel advertises that via ``supports_deferred_eval = False`` and the
+trainer's plain scan/while_loop paths run it unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from parallel_gcn_tpu.data.graph import Graph
+from parallel_gcn_tpu.models.gcn import glorot
+from parallel_gcn_tpu.ops.dropout import dropout
+from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
+
+LEAKY_SLOPE = 0.2  # paper §2.1
+_NEG = -1e9  # masked-logit fill; finite so empty softmax rows stay finite
+
+
+def init_gat_params(
+    key: jax.Array,
+    input_dim: int,
+    hidden_dims,
+    output_dim: int,
+    heads: int,
+):
+    """Per-layer {W, a_src, a_dst}. ``hidden_dims`` are PER-HEAD widths (paper
+    cora config: 8 heads × 8 features); hidden layers concatenate heads, so
+    layer l+1 sees heads·hidden_dims[l] inputs. The last layer's heads are
+    averaged over ``output_dim``-wide logits."""
+    dims_in = [input_dim] + [heads * d for d in hidden_dims]
+    dims_out = list(hidden_dims) + [output_dim]
+    params = []
+    for i, (f_in, d) in enumerate(zip(dims_in, dims_out)):
+        key, kw, ks, kd = jax.random.split(key, 4)
+        params.append({
+            "W": glorot(kw, f_in, heads * d),
+            # attention vectors: glorot ranges on the [2·D, 1] MLP the pair
+            # (a_src, a_dst) factorizes
+            "a_src": glorot(ks, heads, d),
+            "a_dst": glorot(kd, heads, d),
+        })
+    return params
+
+
+def _edge_softmax_segment(graph: Graph, s, t, n_nodes):
+    """Per-edge attention weights α over the padded COO triplets.
+
+    ``s``/``t`` are [N, heads] per-node logit halves; returns α [E, heads].
+    Padding edges (val == 0) get logit _NEG → weight ~0; rows with no live
+    edges (padding rows) degrade to finite garbage that the split mask drops.
+    """
+    live = (graph.val != 0.0)[:, None]
+    e = s[graph.row] + t[graph.col]
+    e = jax.nn.leaky_relu(e, LEAKY_SLOPE)
+    e = jnp.where(live, e, _NEG)
+    m = jax.ops.segment_max(e, graph.row, num_segments=n_nodes,
+                            indices_are_sorted=True)
+    m = jnp.maximum(m, _NEG)  # empty segments: -inf would poison exp below
+    w = jnp.exp(e - m[graph.row])
+    w = jnp.where(live, w, 0.0)
+    denom = jax.ops.segment_sum(w, graph.row, num_segments=n_nodes,
+                                indices_are_sorted=True)
+    return w / jnp.maximum(denom, 1e-16)[graph.row]
+
+
+@dataclass(frozen=True)
+class GATModel:
+    """Static model description; ``apply`` is the pure forward function.
+
+    Mirrors GCNModel's trainer contract (n_layers/dropouts/apply signature);
+    ``backend`` ∈ {dense, segment} picks the attention aggregation path.
+    ``attn_dropout`` drops normalized attention coefficients during training
+    (paper §3.3 applies 0.6 on the citation datasets)."""
+
+    n_layers: int
+    dropouts: tuple[float, ...]
+    heads: int = 8
+    attn_dropout: float = 0.0
+    backend: str = "dense"
+    compute_dtype: str = "float32"
+    precision: str = "highest"
+    residual: bool = False
+    input_preagg: bool = False  # trainer contract; preagg is a GCN rewrite
+    supports_deferred_eval = False  # attention is data-dependent per lane
+
+    def _attend_dense(self, graph, hw3, s, t, akey, training):
+        mask = (graph.adj > 0)[None]  # [1, N, N] — edge pattern incl. pads
+        e = s.T[:, :, None] + t.T[:, None, :]  # [heads, N, N]
+        e = jax.nn.leaky_relu(e, LEAKY_SLOPE)
+        e = jnp.where(mask, e, jnp.asarray(_NEG, e.dtype))
+        a = jax.nn.softmax(e, axis=-1)
+        if training and self.attn_dropout > 0.0:
+            a = dropout(a, self.attn_dropout, akey, training=True)
+        prec = jax.lax.Precision.HIGHEST if self.precision == "highest" else None
+        return jnp.einsum("hij,jhd->ihd", a, hw3, precision=prec)
+
+    def _attend_segment(self, graph, hw3, s, t, akey, training):
+        n = hw3.shape[0]
+        alpha = _edge_softmax_segment(graph, s, t, n)
+        if training and self.attn_dropout > 0.0:
+            alpha = dropout(alpha, self.attn_dropout, akey, training=True)
+        contrib = alpha[:, :, None] * hw3[graph.col]
+        return jax.ops.segment_sum(contrib, graph.row, num_segments=n,
+                                   indices_are_sorted=True)
+
+    def apply(
+        self,
+        weights,
+        x: jnp.ndarray,
+        graph: Graph,
+        *,
+        training: bool,
+        key: jax.Array | None = None,
+        input_preagg: bool | None = None,
+    ) -> jnp.ndarray:
+        """Forward pass → logits [n_nodes, output_dim] (float32)."""
+        assert len(weights) == self.n_layers
+        assert not input_preagg, "GAT has no loop-invariant first aggregation"
+        if self.backend == "dense":
+            assert graph.adj is not None, (
+                "GAT dense backend needs the dense adjacency (small graphs); "
+                "use backend=segment otherwise"
+            )
+        else:
+            assert graph.coo_complete, (
+                "GAT segment backend needs complete COO triplets (tile-only "
+                "hybrid packs carry no per-edge list)"
+            )
+        dtype = jnp.dtype(self.compute_dtype)
+        h = x.astype(dtype)
+        needs_keys = training and (
+            any(d > 0 for d in self.dropouts) or self.attn_dropout > 0
+        )
+        if needs_keys:
+            assert key is not None, "training forward needs a dropout key"
+            keys = jax.random.split(key, 2 * self.n_layers)
+        else:
+            keys = [None] * (2 * self.n_layers)
+
+        attend = (
+            self._attend_dense if self.backend == "dense"
+            else self._attend_segment
+        )
+        prev = None
+        for layer in range(self.n_layers):
+            w = weights[layer]
+            n_out = w["a_src"].shape[1]
+            if training and self.dropouts[layer] > 0.0:
+                h = dropout(h, self.dropouts[layer], keys[2 * layer],
+                            training=True)
+            hw = feature_transform(h, w["W"], precision=self.precision,
+                                   out_dtype=dtype)
+            hw3 = hw.reshape(hw.shape[0], self.heads, n_out)
+            s = jnp.einsum("nhd,hd->nh", hw3, w["a_src"].astype(dtype))
+            t = jnp.einsum("nhd,hd->nh", hw3, w["a_dst"].astype(dtype))
+            out = attend(graph, hw3, s, t, keys[2 * layer + 1], training)
+            if layer == self.n_layers - 1:
+                h = out.mean(axis=1)  # average heads → logits (paper eq. 6)
+            else:
+                h = out.reshape(out.shape[0], self.heads * n_out)
+                if (
+                    self.residual
+                    and layer > 0
+                    and prev is not None
+                    and prev.shape == h.shape
+                ):
+                    h = h + prev
+                h = jax.nn.elu(h)
+                prev = h
+        return h.astype(jnp.float32)

@@ -72,6 +72,10 @@ class GCNModel:
     # approximation; the tuned reddit/pubmed configs (input dropout 0.0,
     # report p.13 Table 4) qualify.
     input_preagg: bool = False
+    # the deferred-eval lane stacking (train._fused_deferred_forward) is valid
+    # because Â is the SAME linear operator for the train and eval lanes —
+    # attention models (gat.py) set this False
+    supports_deferred_eval = True
 
     def _dropout(self, h, rate, key, training):
         if not training or rate <= 0.0:

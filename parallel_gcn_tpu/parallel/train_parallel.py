@@ -22,7 +22,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from parallel_gcn_tpu.config import Config
 from parallel_gcn_tpu.data.parser import TRAIN, VAL, Dataset
 from parallel_gcn_tpu.ops.dropout import dropout
-from parallel_gcn_tpu.ops.loss import l2_penalty
+from parallel_gcn_tpu.ops.loss import l2_penalty as _l2_penalty_arr
+
+
+def l2_penalty(w0):
+    """Σw² of the decayed leaf — leaf 0 of the first layer's params, the same
+    leaf adam_step's default decay mask updates (plain array for the GCN;
+    the W matrix of GAT's {W, a_src, a_dst} dict)."""
+    import jax as _jax
+
+    return _l2_penalty_arr(_jax.tree.leaves(w0)[0])
 from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
 from parallel_gcn_tpu.optim import adam_step
 from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
@@ -396,6 +405,14 @@ def _make_forward(cfg: Config, sgraph):
     dtype = jnp.dtype(cfg.tpu.compute_dtype)
     tp = max(getattr(cfg.tpu, "tp", 1), 1)
     sched = _tp_schedule(n_layers) if tp > 1 else None
+    gat = cfg.gcn.model == "gat"
+    if gat and (hybrid or ring or adaptive or tp > 1):
+        raise ValueError(
+            "model=gat over the mesh supports the flat COO partition with "
+            "the all_gather or boundary halo (the per-destination edge "
+            "softmax must stay device-local; tp is GCN-only) — set "
+            "backend=segment, halo=all_gather|boundary, tp=1"
+        )
 
     def _aggregate(h, graph_args):
         # graph_args order matches _graph_specs: base arrays, then sym_scale
@@ -578,7 +595,79 @@ def _make_forward(cfg: Config, sgraph):
             stacked[:, n_classes:].astype(jnp.float32),
         )
 
+    def forward_gat(weights, x_local, graph_args, training, key,
+                    preagg=False):
+        """Mesh GAT forward (models/gat.py's segment backend over the
+        node-partitioned flat COO): each device owns ALL edges of its dst
+        rows, so the per-destination edge softmax is device-local; ONE halo
+        exchange per layer carries the concatenated [W·h | t] rows (the
+        attention's remote operands travel together). Supported layouts:
+        flat COO with the all_gather or boundary halo — the ring splits a
+        row's edges across rotation steps and the adaptive push pairs move
+        them off-device, both of which would break the local row softmax."""
+        from parallel_gcn_tpu.models.gat import LEAKY_SLOPE, _NEG
+
+        heads = cfg.gcn.heads
+        attn_rate = cfg.gcn.attn_dropout
+        args = list(graph_args)
+        send = args.pop() if boundary else None
+        rowl, colb, val = args
+        assert not preagg  # no GAT analog (data-dependent aggregation)
+        h = x_local.astype(dtype)
+        if training and (any(d > 0 for d in dropouts) or attn_rate > 0):
+            assert key is not None
+            key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
+            keys = list(jax.random.split(key, 2 * n_layers))
+        else:
+            keys = [None] * (2 * n_layers)
+        live = (val != 0.0)[:, None]
+        prev = None
+        for layer in range(n_layers):
+            w = weights[layer]
+            d_out = w["a_src"].shape[1]
+            h = dropout(h, dropouts[layer], keys[2 * layer],
+                        training=training)
+            hw = feature_transform(h, w["W"], precision=precision,
+                                   out_dtype=dtype)
+            hw3 = hw.reshape(hw.shape[0], heads, d_out)
+            s = jnp.einsum("nhd,hd->nh", hw3, w["a_src"].astype(dtype))
+            t = jnp.einsum("nhd,hd->nh", hw3, w["a_dst"].astype(dtype))
+            buf = _gather_buffer(jnp.concatenate([hw, t], axis=1), send, AXIS)
+            hw_buf = buf[:, : hw.shape[1]].reshape(-1, heads, d_out)
+            t_buf = buf[:, hw.shape[1]:]
+            e = jax.nn.leaky_relu(s[rowl] + t_buf[colb], LEAKY_SLOPE)
+            e = jnp.where(live, e, jnp.asarray(_NEG, e.dtype))
+            m = jax.ops.segment_max(e, rowl, num_segments=n_local,
+                                    indices_are_sorted=True)
+            m = jnp.maximum(m, jnp.asarray(_NEG, e.dtype))
+            wgt = jnp.where(live, jnp.exp(e - m[rowl]), 0.0)
+            den = jax.ops.segment_sum(wgt, rowl, num_segments=n_local,
+                                      indices_are_sorted=True)
+            alpha = wgt / jnp.maximum(den, 1e-16)[rowl]
+            if training and attn_rate > 0:
+                alpha = dropout(alpha, attn_rate, keys[2 * layer + 1],
+                                training=True)
+            out = jax.ops.segment_sum(
+                alpha[:, :, None] * hw_buf[colb], rowl,
+                num_segments=n_local, indices_are_sorted=True,
+            )
+            if layer == n_layers - 1:
+                h = out.mean(axis=1)
+            else:
+                h = out.reshape(out.shape[0], heads * d_out)
+                if (
+                    residual and layer > 0 and prev is not None
+                    and prev.shape == h.shape
+                ):
+                    h = h + prev
+                h = jax.nn.elu(h)
+                prev = h
+        return h.astype(jnp.float32)
+
     def forward(weights, x_local, graph_args, training, key, preagg=False):
+        if gat:
+            return forward_gat(weights, x_local, graph_args, training, key,
+                               preagg)
         if tp > 1:
             return forward_tp(weights, x_local, graph_args, training, key,
                               preagg)
@@ -666,7 +755,7 @@ def _make_forward(cfg: Config, sgraph):
 
     return SimpleNamespace(
         forward=forward, aggregate=_aggregate, forward_stacked=forward_stacked,
-        n_layers=n_layers,
+        n_layers=n_layers, supports_stacked=not gat,
     )
 
 
@@ -931,7 +1020,8 @@ def make_parallel_run(
         # deferred-eval fusion: valid only on the static-epoch schedule (the
         # stopping rule needs epoch e's val loss before e+1 runs) with a
         # last-layer aggregation to stack — same conditions as single-chip
-        fused_eval = k == 0 and epochs > 0 and pm.n_layers >= 2
+        fused_eval = (k == 0 and epochs > 0 and pm.n_layers >= 2
+                      and pm.supports_stacked)
         if fused_eval:
             def scan_body(carry, _):
                 weights, opt_state, key = carry
@@ -1086,6 +1176,20 @@ def fit_parallel(
     validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim, tp)
     verbose = cfg.train.verbose if verbose is None else verbose
 
+    if cfg.gcn.model == "gat" and (
+        halo in ("ring", "adaptive") or tp > 1
+        or cfg.tpu.backend in ("hybrid", "bcsr")
+    ):
+        # the per-destination edge softmax must stay device-local: the ring
+        # splits a row's edges across rotation steps and the adaptive push
+        # pairs move them to the source owner; tp and the tile slabs are
+        # GCN-only (same check _make_forward enforces for direct builders)
+        raise ValueError(
+            "model=gat over the mesh supports the flat COO partition with "
+            "the all_gather or boundary halo — set backend=segment, "
+            "halo=all_gather|boundary, tp=1"
+        )
+
     if cfg.tpu.backend in ("hybrid", "bcsr"):
         if halo in ("ring", "adaptive"):
             raise ValueError(
@@ -1147,9 +1251,17 @@ def fit_parallel(
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
     else:
-        weights = init_params(
-            init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
-        )
+        if cfg.gcn.model == "gat":
+            from parallel_gcn_tpu.models.gat import init_gat_params
+
+            weights = init_gat_params(
+                init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim,
+                cfg.gcn.heads,
+            )
+        else:
+            weights = init_params(
+                init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
+            )
         if tp > 1:
             # shard first so init_adam's zeros_like inherits the placement
             weights = shard_weights(weights, mesh, tp)
@@ -1159,7 +1271,9 @@ def fit_parallel(
     # train-side when input dropout is 0, eval-side always
     x_train_dev, x_eval_dev = x_dev, x_dev
     train_preagg = eval_preagg = False
-    if cfg.tpu.input_preagg and cfg.gcn.n_layers >= 2:
+    if cfg.tpu.input_preagg and cfg.gcn.model == "gat":
+        pass  # no GAT analog (see train.fit) — ignore the default-True knob
+    elif cfg.tpu.input_preagg and cfg.gcn.n_layers >= 2:
         x_agg = make_preagg_fn(cfg, mesh, sgraph)(x_dev, *graph_dev)
         if jnp.dtype(cfg.tpu.compute_dtype) != jnp.float32:
             x_agg = x_agg.astype(jnp.dtype(cfg.tpu.compute_dtype))

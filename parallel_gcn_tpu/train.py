@@ -48,12 +48,25 @@ class FitResult:
     total_time_s: float
 
 
-def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
+def build_model(cfg: Config, dds: DeviceDataset):
     from parallel_gcn_tpu.ops.graphsum import resolve_backend
 
     # one source of truth with ops.graphsum: auto prefers an existing
     # hybrid/bcsr pack, then dense (when the adj was built), then segment
     backend = resolve_backend(dds.graph, cfg.tpu.backend, cfg.tpu.dense_threshold)
+    if cfg.gcn.model == "gat":
+        from parallel_gcn_tpu.models.gat import GATModel
+
+        return GATModel(
+            n_layers=cfg.gcn.n_layers,
+            dropouts=tuple(cfg.gcn.dropouts),
+            heads=cfg.gcn.heads,
+            attn_dropout=cfg.gcn.attn_dropout,
+            backend="dense" if backend == "dense" else "segment",
+            compute_dtype=cfg.tpu.compute_dtype,
+            precision=cfg.tpu.matmul_precision,
+            residual=cfg.gcn.residual,
+        )
     dropout_impl = cfg.tpu.dropout_impl
     if dropout_impl == "auto":
         dropout_impl = "threefry" if jax.default_backend() == "cpu" else "pallas"
@@ -73,8 +86,10 @@ def build_model(cfg: Config, dds: DeviceDataset) -> GCNModel:
 
 def _l2_term(wd, w0):
     """wd·||W0||²/2 — the reported-loss regularizer (finalize,
-    src/gcn.cu:440-455; L2 applies to the first weight only)."""
-    return jnp.float32(wd) * l2_penalty(w0) / 2.0
+    src/gcn.cu:440-455; L2 applies to the first weight only). For models
+    whose per-layer params are pytrees (GAT: {W, a_src, a_dst}) the term
+    tracks leaf 0 — the same leaf adam_step's default decay mask updates."""
+    return jnp.float32(wd) * l2_penalty(jax.tree.leaves(w0)[0]) / 2.0
 
 
 def _ce_fn(cfg: Config):
@@ -439,7 +454,10 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
         # deciding to run e+1, but the deferred schedule produces it during
         # e+1) and the model has a last-layer aggregation to stack (a 1-layer
         # model with input_preagg aggregates nowhere).
-        fused_eval = k == 0 and epochs > 0 and model.n_layers >= 2
+        fused_eval = (
+            k == 0 and epochs > 0 and model.n_layers >= 2
+            and getattr(model, "supports_deferred_eval", True)
+        )
         if fused_eval:
             # epoch e's body computes the train step AND epoch e-1's val
             # forward in one stacked last aggregation (see
@@ -590,7 +608,14 @@ def fit(
     key, init_key = jax.random.split(key)
 
     model = build_model(cfg, dds)
-    if cfg.tpu.input_preagg:
+    if cfg.tpu.input_preagg and cfg.gcn.model == "gat":
+        # Â·(X·W0) == (Â·X)·W0 is a GCN identity; GAT's aggregation is
+        # data-dependent, so the hoist does not exist — ignore the (default
+        # True) knob rather than refuse to run. Benign: nothing is lost, the
+        # rewrite simply has no GAT analog.
+        if verbose:
+            print("note: input_preagg has no GAT analog — ignored")
+    elif cfg.tpu.input_preagg:
         model, dds = preaggregate_input(model, dds)
     start_epoch = 0
     if resume_from:
@@ -602,9 +627,17 @@ def fit(
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
     else:
-        weights = init_params(
-            init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
-        )
+        if cfg.gcn.model == "gat":
+            from parallel_gcn_tpu.models.gat import init_gat_params
+
+            weights = init_gat_params(
+                init_key, dds.input_dim, cfg.gcn.hidden_dims,
+                dds.output_dim, cfg.gcn.heads,
+            )
+        else:
+            weights = init_params(
+                init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
+            )
         opt_state = init_adam(weights)
     test_fn = make_eval_fn(model, cfg, dds, TEST)
 

@@ -1,0 +1,222 @@
+"""GAT model family (models/gat.py) — golden-oracle, backend-parity, and
+end-to-end training tests (paper arXiv:1710.10903; the reference framework is
+GCN-only, so the oracle here is golden.golden_gat_forward, an independent
+NumPy re-expression, not a reference port)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from parallel_gcn_tpu.config import AdamConfig, Config, GCNConfig, TPUConfig, TrainConfig
+from parallel_gcn_tpu.data.graph import build_graph, random_graph
+from parallel_gcn_tpu.golden import golden_gat_forward
+from parallel_gcn_tpu.models.gat import GATModel, init_gat_params
+from parallel_gcn_tpu.train import fit
+
+from tests.test_model import _synthetic
+
+
+def _graph_pair(n=60, deg=5, seed=3):
+    csr, _ = random_graph(n, deg, seed=seed)
+    g = build_graph(csr, dense=True, node_pad=1, edge_pad=1)
+    assert g.adj is not None and g.n_nodes == csr.n_rows
+    return csr, g
+
+
+@pytest.mark.parametrize("n_layers,heads", [(2, 1), (2, 4), (3, 2)])
+def test_gat_forward_matches_golden(n_layers, heads):
+    csr, g = _graph_pair()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((csr.n_rows, 10)).astype(np.float32)
+    hidden = [6] * (n_layers - 1)
+    params = init_gat_params(jax.random.PRNGKey(1), 10, hidden, 4, heads)
+    params_np = jax.tree.map(np.asarray, params)
+
+    expected = golden_gat_forward(params_np, x, csr, heads)
+    for backend in ("dense", "segment"):
+        model = GATModel(
+            n_layers=n_layers, dropouts=(0.0,) * n_layers, heads=heads,
+            backend=backend, precision="highest",
+        )
+        out = np.asarray(
+            model.apply(params, jnp.asarray(x), g, training=False)
+        )
+        np.testing.assert_allclose(out, expected, rtol=2e-5, atol=2e-5,
+                                   err_msg=backend)
+
+
+def test_gat_backend_gradient_parity():
+    """dense (masked MXU softmax) and segment (edge softmax) are independent
+    implementations of the same math — their gradients must agree."""
+    csr, g = _graph_pair()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((csr.n_rows, 8)).astype(np.float32))
+    params = init_gat_params(jax.random.PRNGKey(2), 8, [5], 3, heads=2)
+
+    def loss(params, backend):
+        model = GATModel(n_layers=2, dropouts=(0.0, 0.0), heads=2,
+                         backend=backend, precision="highest")
+        logits = model.apply(params, x, g, training=False)
+        return jnp.sum(logits * logits)
+
+    gd = jax.grad(lambda p: loss(p, "dense"))(params)
+    gs = jax.grad(lambda p: loss(p, "segment"))(params)
+    for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mode,backend", [
+    ("eager", "dense"),
+    ("scan", "dense"),     # plain scan path (no deferred-eval for GAT)
+    ("scan", "segment"),
+    ("eager", "segment"),
+])
+def test_gat_trains_end_to_end(mode, backend):
+    """model=gat through the SAME trainer as the GCN: learns the separable
+    synthetic problem in both modes and both attention backends."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds, dense=backend == "dense")
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.1, 0.1),
+                      epochs=40, early_stopping=0, model="gat", heads=2,
+                      attn_dropout=0.1),
+        adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
+        tpu=TPUConfig(backend=backend, dense_threshold=0 if backend != "dense"
+                      else 8192, matmul_precision="highest", seed=4),
+        train=TrainConfig(verbose=False, mode=mode),
+    )
+    res = fit(cfg, dds)
+    assert res.history[-1, 0] < res.history[0, 0]  # train loss decreased
+    assert res.test_acc > 0.6, res.test_acc
+    assert np.isfinite(res.history).all()
+
+
+def test_gat_scan_matches_eager():
+    """The fused scan run must reproduce the eager loop's trajectory for the
+    GAT exactly (same key schedule; deferred-eval stacking correctly gated
+    OFF — attention differs per lane, stacking would be wrong)."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(mode):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.3, 0.3),
+                          epochs=12, early_stopping=0, model="gat", heads=2),
+            tpu=TPUConfig(backend="segment", dense_threshold=0,
+                          matmul_precision="highest", seed=7),
+            train=TrainConfig(verbose=False, mode=mode),
+        )
+        return fit(cfg, dds)
+
+    a, b = run("eager"), run("scan")
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-4, atol=1e-5)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
+
+
+@pytest.mark.parametrize("halo,mode", [
+    ("all_gather", "scan"),
+    ("boundary", "scan"),
+    ("boundary", "eager"),
+])
+def test_gat_fit_parallel_matches_single_chip(halo, mode):
+    """Multi-chip GAT (per-destination edge softmax stays device-local; one
+    halo exchange per layer ships [W·h | t]) must reproduce the single-chip
+    trajectory on the 4-device mesh."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    gcn_cfg = GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                        epochs=12, early_stopping=0, model="gat", heads=2)
+    cfg = Config(
+        gcn=gcn_cfg,
+        tpu=TPUConfig(backend="segment", seed=7, n_devices=4, halo=halo,
+                      matmul_precision="highest"),
+        train=TrainConfig(verbose=False, mode=mode),
+    )
+    res_par = fit_parallel(cfg, ds)
+
+    single_cfg = Config(
+        gcn=gcn_cfg,
+        tpu=TPUConfig(backend="segment", dense_threshold=0, seed=7,
+                      matmul_precision="highest"),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    res_one = fit(single_cfg, to_device(ds))
+    assert res_par.epochs_run == res_one.epochs_run
+    np.testing.assert_allclose(
+        res_par.history[:, [0, 2]], res_one.history[:, [0, 2]],
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        res_par.history[:, [1, 3]], res_one.history[:, [1, 3]], atol=0.02
+    )
+    assert abs(res_par.test_acc - res_one.test_acc) < 0.03
+
+
+def test_gat_parallel_rejects_unsupported_layouts():
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    for tpu in (
+        TPUConfig(backend="segment", n_devices=4, halo="ring"),
+        TPUConfig(backend="segment", n_devices=4, halo="adaptive"),
+        TPUConfig(backend="segment", n_devices=2, tp=2),
+    ):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                          epochs=2, early_stopping=0, model="gat", heads=2),
+            tpu=tpu,
+            train=TrainConfig(verbose=False),
+        )
+        with pytest.raises(ValueError, match="gat"):
+            fit_parallel(cfg, ds)
+
+
+def test_gat_ignores_input_preagg():
+    """input_preagg defaults True (the GCN hoist); GAT has no analog — fit
+    must train WITHOUT the hoist instead of refusing or misaggregating."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                      epochs=3, early_stopping=0, model="gat", heads=2),
+        tpu=TPUConfig(backend="segment", dense_threshold=0, input_preagg=True),
+        train=TrainConfig(verbose=False),
+    )
+    res = fit(cfg, dds)
+    assert np.isfinite(res.history).all()
