@@ -86,6 +86,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{flags} --xla_force_host_platform_device_count={need}"
             ).strip()
 
+    # persistent compilation cache (same as bench.py): the fused whole-run
+    # program costs ~20-90 s through a remote-compile tunnel; without this
+    # every CLI invocation pays it again and the printed total/avg epoch
+    # times are compile-dominated
+    import os as _os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     print_device_info()
 
     if use_mesh and need > len(jax.devices()):
