@@ -27,7 +27,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import TEST, prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, make_eval_fn, preaggregate_input
 
@@ -55,7 +55,7 @@ def run_seeds(dataset: str, n_seeds: int, epochs: int | None, base_seed: int = 0
     run_keys = jax.vmap(jax.random.PRNGKey)(seeds + 10_000)
 
     def one(init_key, run_key):
-        w = init_params(init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim)
+        w = init_model_params(cfg, init_key, dds.input_dim, dds.output_dim)
         opt = init_adam(w)
         weights, _, metrics, epochs_run = run(w, opt, run_key)
         test_loss, test_acc = test_fn(weights)

@@ -27,7 +27,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
@@ -58,9 +58,9 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
     key = jax.random.PRNGKey(cfg.tpu.seed)
 
     def once():
-        w = init_params(
-            jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
-            cfg.gcn.hidden_dims, dds.output_dim,
+        w = init_model_params(
+            cfg, jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
+            dds.output_dim,
         )
         opt = init_adam(w)
         out = run(w, opt, key)

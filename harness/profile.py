@@ -19,7 +19,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import (
     _make_scan_run, build_model, make_epoch_step, preaggregate_input,
@@ -52,10 +52,8 @@ def main() -> int:
     key = jax.random.PRNGKey(cfg.tpu.seed)
 
     def fresh():
-        w = init_params(
-            jax.random.PRNGKey(0), dds.input_dim, cfg.gcn.hidden_dims,
-            dds.output_dim,
-        )
+        w = init_model_params(cfg, jax.random.PRNGKey(0), dds.input_dim,
+                              dds.output_dim)
         return w, init_adam(w)
 
     if args.mode == "scan":

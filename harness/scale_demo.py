@@ -61,7 +61,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_host_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.parallel.partition import partition_graph
 from parallel_gcn_tpu.parallel.train_parallel import (
@@ -195,8 +195,8 @@ def main() -> int:
         inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
         counts = {s: int((ds.split == s).sum()) for s in (1, 2, 3)}
         step = make_parallel_epoch_step(cfg, mesh, sg, counts)
-        w = init_params(jax.random.PRNGKey(cfg.tpu.seed), ds.input_dim,
-                        cfg.gcn.hidden_dims, ds.output_dim)
+        w = init_model_params(cfg, jax.random.PRNGKey(cfg.tpu.seed),
+                              ds.input_dim, ds.output_dim)
         key = jax.random.PRNGKey(cfg.tpu.seed)
         t0 = time.time()
         w, opt, key, m = step(w, init_adam(w), key, *inputs)

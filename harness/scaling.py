@@ -44,7 +44,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import load_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.parallel.partition import partition_graph, partition_graph_ring
 from parallel_gcn_tpu.parallel.train_parallel import (
@@ -89,9 +89,7 @@ def bench_mesh(ds, cfg, n_dev: int, halo: str, epochs: int) -> float:
     step = make_parallel_epoch_step(cfg, mesh, sgraph, counts)
 
     key = jax.random.PRNGKey(cfg.tpu.seed)
-    w = init_params(
-        jax.random.PRNGKey(0), ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
-    )
+    w = init_model_params(cfg, jax.random.PRNGKey(0), ds.input_dim, ds.output_dim)
     opt = init_adam(w)
     w, opt, key, m = step(w, opt, key, *inputs)  # compile
     np.asarray(m)

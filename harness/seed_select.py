@@ -34,7 +34,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import TEST, prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import (
     _make_scan_run,
@@ -63,7 +63,7 @@ def sweep_seeds(dataset: str, n_seeds: int, batch: int, base: int):
         # EXACT fit() derivation (train.py:500-502)
         key = jax.random.PRNGKey(seed)
         key, init_key = jax.random.split(key)
-        w = init_params(init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim)
+        w = init_model_params(cfg, init_key, dds.input_dim, dds.output_dim)
         opt = init_adam(w)
         weights, _, metrics, epochs_run = run(w, opt, key)
         _, test_acc = test_fn(weights)
@@ -97,7 +97,7 @@ def sweep_seeds(dataset: str, n_seeds: int, batch: int, base: int):
     for s, _, _, _ in rows[:RE_VERIFY_TOP]:
         key = jax.random.PRNGKey(s)
         key, init_key = jax.random.split(key)
-        w = init_params(init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim)
+        w = init_model_params(cfg, init_key, dds.input_dim, dds.output_dim)
         weights, _, metrics, epochs_run = run(w, init_adam(w), key)
         _, test_acc = test_fn(weights)
         e = int(epochs_run)

@@ -27,7 +27,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model
 
@@ -98,9 +98,7 @@ def sweep(dataset: str, preset: str, seeds: int, epochs: int):
         run_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(seeds) + 10_000)
 
         def one(ik, rk):
-            w = init_params(
-                ik, cfg_dds.input_dim, cfg.gcn.hidden_dims, cfg_dds.output_dim
-            )
+            w = init_model_params(cfg, ik, cfg_dds.input_dim, cfg_dds.output_dim)
             weights, _, metrics, epochs_run = run(w, init_adam(w), rk)
             return metrics[jnp.maximum(epochs_run - 1, 0)][3]
 

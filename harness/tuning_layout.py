@@ -27,7 +27,7 @@ import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
-from parallel_gcn_tpu.models.gcn import init_params
+from parallel_gcn_tpu.train import init_model_params
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import _make_scan_run, build_model, preaggregate_input
 
@@ -63,9 +63,9 @@ def time_layout(dataset: str, backend: str, reorder: str, tile: int,
         key = jax.random.PRNGKey(cfg.tpu.seed)
 
         def once():
-            w = init_params(
-                jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
-                cfg.gcn.hidden_dims, dds.output_dim,
+            w = init_model_params(
+                cfg, jax.random.PRNGKey(cfg.tpu.seed), dds.input_dim,
+                dds.output_dim,
             )
             out = run(w, init_adam(w), key)
             np.asarray(out[2])

@@ -74,6 +74,12 @@ class GCNConfig:
     def __post_init__(self):
         if self.model not in ("gcn", "gat"):
             raise ValueError(f"model must be gcn|gat, got {self.model!r}")
+        if self.heads < 1:
+            raise ValueError(f"heads must be >= 1, got {self.heads}")
+        if not 0.0 <= self.attn_dropout < 1.0:
+            raise ValueError(
+                f"attn_dropout must be in [0, 1), got {self.attn_dropout}"
+            )
         if isinstance(self.hidden_dims, (int, float)):
             self.hidden_dims = (int(self.hidden_dims),)
         self.hidden_dims = tuple(int(h) for h in self.hidden_dims)

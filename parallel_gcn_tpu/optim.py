@@ -25,6 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
+def decayed_leaf(w0):
+    """The leaf the default decay mask updates: leaf 0 of the first layer's
+    params (the plain array for the GCN; the W matrix of GAT's
+    {W, a_src, a_dst} dict — dict keys sort W first). The reported-loss L2
+    term (train._l2_term, train_parallel.l2_penalty) must track the SAME
+    leaf adam_step decays, so both route through here."""
+    return jax.tree.leaves(w0)[0]
+
+
 class AdamState(NamedTuple):
     step: jnp.ndarray  # int32 scalar
     m: list  # first moments, same pytree as params

@@ -23,15 +23,13 @@ from parallel_gcn_tpu.config import Config
 from parallel_gcn_tpu.data.parser import TRAIN, VAL, Dataset
 from parallel_gcn_tpu.ops.dropout import dropout
 from parallel_gcn_tpu.ops.loss import l2_penalty as _l2_penalty_arr
+from parallel_gcn_tpu.optim import decayed_leaf as _decayed_leaf
 
 
 def l2_penalty(w0):
-    """Σw² of the decayed leaf — leaf 0 of the first layer's params, the same
-    leaf adam_step's default decay mask updates (plain array for the GCN;
-    the W matrix of GAT's {W, a_src, a_dst} dict)."""
-    import jax as _jax
-
-    return _l2_penalty_arr(_jax.tree.leaves(w0)[0])
+    """Σw² of the decayed leaf (optim.decayed_leaf — the exact leaf
+    adam_step's default decay mask updates; see train._l2_term)."""
+    return _l2_penalty_arr(_decayed_leaf(w0))
 from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
 from parallel_gcn_tpu.optim import adam_step
 from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
@@ -1251,17 +1249,10 @@ def fit_parallel(
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
     else:
-        if cfg.gcn.model == "gat":
-            from parallel_gcn_tpu.models.gat import init_gat_params
+        from parallel_gcn_tpu.train import init_model_params
 
-            weights = init_gat_params(
-                init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim,
-                cfg.gcn.heads,
-            )
-        else:
-            weights = init_params(
-                init_key, ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim
-            )
+        weights = init_model_params(cfg, init_key, ds.input_dim,
+                                    ds.output_dim)
         if tp > 1:
             # shard first so init_adam's zeros_like inherits the placement
             weights = shard_weights(weights, mesh, tp)

@@ -48,6 +48,21 @@ class FitResult:
     total_time_s: float
 
 
+def init_model_params(cfg: Config, init_key, input_dim: int, output_dim: int):
+    """Glorot-init the configured model family's params pytree — the ONE
+    place that pairs with build_model (GCN: list of arrays; GAT: list of
+    {W, a_src, a_dst} dicts). Harnesses and trainers all route through here
+    so a model=gat override cannot be paired with flat GCN weights."""
+    if cfg.gcn.model == "gat":
+        from parallel_gcn_tpu.models.gat import init_gat_params
+
+        return init_gat_params(
+            init_key, input_dim, cfg.gcn.hidden_dims, output_dim,
+            cfg.gcn.heads,
+        )
+    return init_params(init_key, input_dim, cfg.gcn.hidden_dims, output_dim)
+
+
 def build_model(cfg: Config, dds: DeviceDataset):
     from parallel_gcn_tpu.ops.graphsum import resolve_backend
 
@@ -57,6 +72,15 @@ def build_model(cfg: Config, dds: DeviceDataset):
     if cfg.gcn.model == "gat":
         from parallel_gcn_tpu.models.gat import GATModel
 
+        if backend in ("hybrid", "bcsr") or not dds.graph.coo_complete:
+            # config-time error instead of a trace-time assert (which
+            # python -O would strip, silently attending over only the COO
+            # residual subset of a hybrid pack)
+            raise ValueError(
+                "model=gat needs the dense adjacency or complete COO "
+                "triplets — backend=hybrid/bcsr tile packs carry no "
+                "per-edge list; set backend=segment (or dense)"
+            )
         return GATModel(
             n_layers=cfg.gcn.n_layers,
             dropouts=tuple(cfg.gcn.dropouts),
@@ -86,10 +110,11 @@ def build_model(cfg: Config, dds: DeviceDataset):
 
 def _l2_term(wd, w0):
     """wd·||W0||²/2 — the reported-loss regularizer (finalize,
-    src/gcn.cu:440-455; L2 applies to the first weight only). For models
-    whose per-layer params are pytrees (GAT: {W, a_src, a_dst}) the term
-    tracks leaf 0 — the same leaf adam_step's default decay mask updates."""
-    return jnp.float32(wd) * l2_penalty(jax.tree.leaves(w0)[0]) / 2.0
+    src/gcn.cu:440-455; L2 applies to the first weight only). Tracks the
+    exact leaf adam_step's default decay mask updates (optim.decayed_leaf)."""
+    from parallel_gcn_tpu.optim import decayed_leaf
+
+    return jnp.float32(wd) * l2_penalty(decayed_leaf(w0)) / 2.0
 
 
 def _ce_fn(cfg: Config):
@@ -627,17 +652,8 @@ def fit(
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
     else:
-        if cfg.gcn.model == "gat":
-            from parallel_gcn_tpu.models.gat import init_gat_params
-
-            weights = init_gat_params(
-                init_key, dds.input_dim, cfg.gcn.hidden_dims,
-                dds.output_dim, cfg.gcn.heads,
-            )
-        else:
-            weights = init_params(
-                init_key, dds.input_dim, cfg.gcn.hidden_dims, dds.output_dim
-            )
+        weights = init_model_params(cfg, init_key, dds.input_dim,
+                                    dds.output_dim)
         opt_state = init_adam(weights)
     test_fn = make_eval_fn(model, cfg, dds, TEST)
 

@@ -2,9 +2,15 @@
 
 The reference has none (SURVEY.md §5.4 — training always restarts from fresh
 Glorot init; Variable::save only dumps tensors as debug text). Here: full
-training state (weights, Adam moments, step, epoch, RNG key) via orbax when
-available, with a plain-npz fallback so checkpointing never depends on
-optional packages.
+training state (weights, Adam moments, step, epoch, RNG key) as a single
+plain ``.npz`` — numeric arrays only, no pickling, so files stay loadable
+across environments.
+
+Two per-layer weight structures exist in the framework and both round-trip:
+the GCN's plain arrays (saved as ``w{i}``) and the GAT's {W, a_src, a_dst}
+dicts (saved as ``w{i}_W``/``w{i}_a_src``/``w{i}_a_dst``; np.savez would
+otherwise silently PICKLE a dict as a 0-d object array that np.load then
+refuses to read back).
 """
 
 from __future__ import annotations
@@ -17,15 +23,32 @@ import numpy as np
 
 from parallel_gcn_tpu.optim import AdamState
 
+_GAT_KEYS = ("W", "a_src", "a_dst")
+
+
+def _put(flat: dict, name: str, layer) -> None:
+    if isinstance(layer, dict):
+        assert set(layer) == set(_GAT_KEYS), sorted(layer)
+        for k in _GAT_KEYS:
+            flat[f"{name}_{k}"] = np.asarray(layer[k])
+    else:
+        flat[name] = np.asarray(layer)
+
+
+def _get(data, name: str):
+    if name in data:
+        return jnp.asarray(data[name])
+    return {k: jnp.asarray(data[f"{name}_{k}"]) for k in _GAT_KEYS}
+
 
 def _state_to_flat(weights, opt_state: AdamState, epoch: int, key) -> dict:
     flat = {"epoch": np.asarray(epoch), "step": np.asarray(opt_state.step)}
     if key is not None:
         flat["key"] = np.asarray(jax.random.key_data(key))
     for i, w in enumerate(weights):
-        flat[f"w{i}"] = np.asarray(w)
-        flat[f"m{i}"] = np.asarray(opt_state.m[i])
-        flat[f"v{i}"] = np.asarray(opt_state.v[i])
+        _put(flat, f"w{i}", w)
+        _put(flat, f"m{i}", opt_state.m[i])
+        _put(flat, f"v{i}", opt_state.v[i])
     flat["n_weights"] = np.asarray(len(weights))
     return flat
 
@@ -40,11 +63,11 @@ def load_checkpoint(path: str):
     """Returns (weights, opt_state, epoch, key-or-None)."""
     with np.load(path) as data:
         n = int(data["n_weights"])
-        weights = [jnp.asarray(data[f"w{i}"]) for i in range(n)]
+        weights = [_get(data, f"w{i}") for i in range(n)]
         opt_state = AdamState(
             step=jnp.asarray(data["step"]),
-            m=[jnp.asarray(data[f"m{i}"]) for i in range(n)],
-            v=[jnp.asarray(data[f"v{i}"]) for i in range(n)],
+            m=[_get(data, f"m{i}") for i in range(n)],
+            v=[_get(data, f"v{i}") for i in range(n)],
         )
         epoch = int(data["epoch"])
         key = None

@@ -200,6 +200,72 @@ def test_gat_parallel_rejects_unsupported_layouts():
             fit_parallel(cfg, ds)
 
 
+def test_gat_checkpoint_roundtrip_and_resume(tmp_path):
+    """GAT params are per-layer dicts — np.savez would silently PICKLE them
+    as 0-d object arrays that np.load refuses to read back. The checkpoint
+    layer must round-trip the dict structure and resume must continue the
+    run (regression for a review finding)."""
+    import os
+
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.utils.checkpoint import load_checkpoint
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def cfg(ckpt_dir="", every=0):
+        return Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.3, 0.3),
+                          epochs=10, early_stopping=0, model="gat", heads=2),
+            tpu=TPUConfig(backend="segment", dense_threshold=0, seed=5),
+            train=TrainConfig(verbose=False, mode="scan",
+                              checkpoint_dir=ckpt_dir,
+                              checkpoint_every=every),
+        )
+
+    plain = fit(cfg(), dds)
+    ck = str(tmp_path / "ck")
+    fit(cfg(ck, 4), dds)
+    w, opt, epoch, key = load_checkpoint(os.path.join(ck, "ckpt_000004.npz"))
+    assert isinstance(w[0], dict) and set(w[0]) == {"W", "a_src", "a_dst"}
+    assert epoch == 4 and int(opt.step) == 4
+
+    resumed = fit(cfg(), dds,
+                  resume_from=os.path.join(ck, "ckpt_000004.npz"))
+    assert resumed.epochs_run == 6
+    np.testing.assert_allclose(resumed.history, plain.history[4:],
+                               rtol=1e-5, atol=1e-6)
+    assert resumed.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
+
+
+def test_gat_rejects_tile_only_graph():
+    """model=gat with a hybrid/bcsr pack must fail at CONFIG time (the tile
+    pack has no per-edge list; a trace-time assert would vanish under -O)."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.train import build_model
+
+    csr, x, labels, split = _synthetic(n=300)
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds, hybrid=True, min_tile_nnz=4)
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                      model="gat", heads=2),
+        tpu=TPUConfig(backend="hybrid"),
+        train=TrainConfig(verbose=False),
+    )
+    with pytest.raises(ValueError, match="gat"):
+        build_model(cfg, dds)
+
+
 def test_gat_ignores_input_preagg():
     """input_preagg defaults True (the GCN hoist); GAT has no analog — fit
     must train WITHOUT the hoist instead of refusing or misaggregating."""
