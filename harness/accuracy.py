@@ -8,6 +8,11 @@ whole-run program — 20 seeds cost barely more wall-clock than one.
 
 Usage:
     python harness/accuracy.py [dataset ...] [--seeds N] [--epochs N]
+                               [--set key=value ...]
+``--set`` applies CLI-style config overrides to every dataset — e.g.
+``--set model=gat heads=8 hidden_dims=8 attn_dropout=0.6`` sweeps the GAT
+family with the same 20-seed methodology (results then go to
+output/accuracy_tpu_gat.txt via --tag).
 Writes output/accuracy_tpu.txt and prints a comparison against the published
 numbers (BASELINE.md).
 """
@@ -36,8 +41,9 @@ PUBLISHED_VAL = {"citeseer": (81.46, 0.495), "cora": (88.42, 0.297), "pubmed": (
 PUBLISHED_TEST = {"citeseer": 80.0, "cora": 87.9, "pubmed": 89.6, "reddit": 26.4}
 
 
-def run_seeds(dataset: str, n_seeds: int, epochs: int | None, base_seed: int = 0):
-    cfg = load_config(default_params_path(dataset))
+def run_seeds(dataset: str, n_seeds: int, epochs: int | None, base_seed: int = 0,
+              overrides: dict | None = None):
+    cfg = load_config(default_params_path(dataset), overrides)
     if epochs:
         cfg.gcn.epochs = epochs
     cfg.train.verbose = False
@@ -87,7 +93,20 @@ def main() -> int:
     ap.add_argument("datasets", nargs="*", default=None)
     ap.add_argument("--seeds", type=int, default=20)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                    help="config overrides applied to every dataset")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the output file name")
     args = ap.parse_args()
+    from parallel_gcn_tpu.config import _parse_scalar
+
+    overrides = {}
+    for kv in args.set:
+        k, v = kv.split("=", 1)
+        overrides[k] = (
+            [_parse_scalar(s) for s in v.split(",")] if "," in v
+            else _parse_scalar(v)
+        )
     # accuracy statistics only mean something on real data: cora + citeseer
     # (pubmed/reddit features are unshipped blobs; see data/synthetic.py)
     datasets = args.datasets or ["cora", "citeseer"]
@@ -96,7 +115,7 @@ def main() -> int:
     rows = []
     for name in datasets:
         try:
-            r = run_seeds(name, args.seeds, args.epochs)
+            r = run_seeds(name, args.seeds, args.epochs, overrides=overrides)
         except FileNotFoundError:
             print(f"[{name}] dataset unavailable, skipping", file=sys.stderr)
             continue
@@ -114,7 +133,8 @@ def main() -> int:
         print(line)
         rows.append(line)
 
-    with open("output/accuracy_tpu.txt", "w") as f:
+    out = f"output/accuracy_tpu{('_' + args.tag) if args.tag else ''}.txt"
+    with open(out, "w") as f:
         f.write("\n".join(rows) + "\n")
     return 0
 

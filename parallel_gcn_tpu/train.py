@@ -154,6 +154,11 @@ def preaggregate_input(
     """
     import dataclasses
 
+    if not hasattr(model, "aggregate"):
+        # models without a loop-invariant linear first aggregation (GAT:
+        # attention is data-dependent) have nothing to hoist — no-op, so
+        # harness callers need no model-family special-casing
+        return model, dds
     if model.input_preagg or dds.x_agg is not None:
         return model, dds
 
