@@ -6,7 +6,7 @@
 PY ?= python
 
 .PHONY: test run-cora run-citeseer run-pubmed run-reddit run-products \
-        run-cora-gat run-citeseer-gat scale-demo bench perf accuracy \
+        run-cora-gat run-citeseer-gat run-reddit-gat scale-demo bench perf accuracy \
         tuning layout golden scaling plots native clean
 
 test:
@@ -38,6 +38,14 @@ run-cora-gat:
 	$(PY) -m parallel_gcn_tpu cora $(GAT_ARGS)
 run-citeseer-gat:
 	$(PY) -m parallel_gcn_tpu citeseer $(GAT_ARGS) compute_dtype=float32
+# attention at reddit scale on one chip: remat + streaming chunked edge
+# softmax (see PERFORMANCE.md — fused scan mode faults this tunnel's worker
+# at this scale, so eager)
+run-reddit-gat:
+	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
+	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager \
+	  backend=segment reorder=none remat=true edge_chunk=1048576 \
+	  compute_dtype=bfloat16
 
 # products-scale multi-chip memory demonstration (adaptive push/pull halo)
 scale-demo:

@@ -70,6 +70,10 @@ class GCNConfig:
     model: str = "gcn"
     heads: int = 8  # GAT attention heads (paper cora config)
     attn_dropout: float = 0.0  # GAT: dropout on normalized attention coeffs
+    # GAT: rematerialize layers in backward (jax.checkpoint) — trades one
+    # extra forward's FLOPs for O(L·E·heads·d) -> O(E·heads·d) activation
+    # memory; required for reddit-scale attention on one 16 GB chip
+    remat: bool = False
 
     def __post_init__(self):
         if self.model not in ("gcn", "gat"):
@@ -267,6 +271,7 @@ _KEYMAP = {
     "model": ("gcn", "model"),
     "heads": ("gcn", "heads"),
     "attn_dropout": ("gcn", "attn_dropout"),
+    "remat": ("gcn", "remat"),
     "learning_rate": ("adam", "learning_rate"),
     "weight_decay": ("adam", "weight_decay"),
     "beta1": ("adam", "beta1"),

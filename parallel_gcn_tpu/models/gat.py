@@ -86,6 +86,10 @@ def _edge_softmax_segment(graph: Graph, s, t, n_nodes):
     m = jax.ops.segment_max(e, graph.row, num_segments=n_nodes,
                             indices_are_sorted=True)
     m = jnp.maximum(m, _NEG)  # empty segments: -inf would poison exp below
+    # exact: softmax is invariant to the subtracted max (gradient
+    # contributions through it cancel); skipping them avoids a useless
+    # scatter-of-argmax backward pass
+    m = jax.lax.stop_gradient(m)
     w = jnp.exp(e - m[graph.row])
     w = jnp.where(live, w, 0.0)
     denom = jax.ops.segment_sum(w, graph.row, num_segments=n_nodes,
@@ -111,6 +115,18 @@ class GATModel:
     precision: str = "highest"
     residual: bool = False
     input_preagg: bool = False  # trainer contract; preagg is a GCN rewrite
+    # rematerialize each layer in the backward pass (jax.checkpoint): the
+    # [E, heads, d] edge intermediates are recomputed instead of stored, so
+    # activation memory drops from O(L·E·heads·d) to one layer's worth —
+    # reddit-scale attention needs this to fit a 16 GB chip (39.6 GB -> fits)
+    remat: bool = False
+    # edge-chunked streaming attention for the segment backend (0 = off):
+    # process the COO edges in lax.scan chunks with a two-pass softmax
+    # (running segment-max, then exp-accumulate numerator/denominator and
+    # divide once). Bounds the per-edge working set to O(chunk) — the
+    # unchunked path's [E, heads] logits lane-pad heads -> 128 on TPU (a
+    # 64x memory blowup at reddit scale), independent of the head width.
+    edge_chunk: int = 0
     supports_deferred_eval = False  # attention is data-dependent per lane
 
     def _attend_dense(self, graph, hw3, s, t, akey, training):
@@ -126,12 +142,90 @@ class GATModel:
 
     def _attend_segment(self, graph, hw3, s, t, akey, training):
         n = hw3.shape[0]
-        alpha = _edge_softmax_segment(graph, s, t, n)
-        if training and self.attn_dropout > 0.0:
-            alpha = dropout(alpha, self.attn_dropout, akey, training=True)
-        contrib = alpha[:, :, None] * hw3[graph.col]
-        return jax.ops.segment_sum(contrib, graph.row, num_segments=n,
-                                   indices_are_sorted=True)
+        E = graph.row.shape[0]
+        if not self.edge_chunk or self.edge_chunk >= E:
+            alpha = _edge_softmax_segment(graph, s, t, n)
+            if training and self.attn_dropout > 0.0:
+                alpha = dropout(alpha, self.attn_dropout, akey, training=True)
+            contrib = alpha[:, :, None] * hw3[graph.col]
+            return jax.ops.segment_sum(contrib, graph.row, num_segments=n,
+                                       indices_are_sorted=True)
+        return self._attend_segment_chunked(graph, hw3, s, t, akey, training)
+
+    def _attend_segment_chunked(self, graph, hw3, s, t, akey, training):
+        """Streaming edge softmax + aggregation in ``edge_chunk``-sized
+        lax.scan steps: pass 1 builds the per-destination running max; pass 2
+        accumulates the exp numerator (per head × feature) and denominator
+        and divides once at the end. Exact (same math, f32 accumulation);
+        attention dropout applies to the numerator terms only — identical to
+        dropping the normalized α (the denominator is the undropped softmax
+        normalizer, as in the paper/unchunked path) with a chunk-indexed key
+        stream."""
+        n, heads, d = hw3.shape
+        row, col, val = graph.row, graph.col, graph.val
+        E = row.shape[0]
+        chunk = self.edge_chunk
+        nc = -(-E // chunk)
+        pad = nc * chunk - E
+        if pad:
+            # harmless extras: val 0 => dead, pointed at the last row/col 0
+            row = jnp.concatenate([row, jnp.full(pad, n - 1, row.dtype)])
+            col = jnp.concatenate([col, jnp.zeros(pad, col.dtype)])
+            val = jnp.concatenate([val, jnp.zeros(pad, val.dtype)])
+        xs = (
+            row.reshape(nc, chunk),
+            col.reshape(nc, chunk),
+            (val != 0.0).reshape(nc, chunk),
+            jnp.arange(nc),
+        )
+
+        def logits(r, c, lv):
+            e = jax.nn.leaky_relu(s[r] + t[c], LEAKY_SLOPE)
+            return jnp.where(lv[:, None], e, jnp.asarray(_NEG, e.dtype))
+
+        def max_body(m, x):
+            r, c, lv, _ = x
+            cm = jax.ops.segment_max(logits(r, c, lv), r, num_segments=n,
+                                     indices_are_sorted=True)
+            return jnp.maximum(m, cm), None
+
+        m0 = jnp.full((n, heads), _NEG, s.dtype)
+        m, _ = jax.lax.scan(max_body, m0, xs)
+        # softmax is invariant to the subtracted max, so its gradient
+        # contributions cancel exactly — stopping them here is exact AND
+        # keeps scan-backward from saving the max pass's per-chunk residuals
+        m = jax.lax.stop_gradient(m)
+
+        keep = 1.0 - self.attn_dropout
+        drop = training and self.attn_dropout > 0.0
+
+        def acc_body(carry, x):
+            num, den = carry
+            r, c, lv, i = x
+            e = logits(r, c, lv)
+            w = jnp.where(lv[:, None], jnp.exp(e - m[r]), 0.0)
+            den = den + jax.ops.segment_sum(w, r, num_segments=n,
+                                            indices_are_sorted=True)
+            wn = w
+            if drop:
+                mask = jax.random.bernoulli(
+                    jax.random.fold_in(akey, i), keep, w.shape
+                )
+                wn = jnp.where(mask, w / jnp.asarray(keep, w.dtype), 0.0)
+            num = num + jax.ops.segment_sum(
+                wn[:, :, None] * hw3[c], r, num_segments=n,
+                indices_are_sorted=True,
+            )
+            return (num, den), None
+
+        num0 = jnp.zeros((n, heads, d), hw3.dtype)
+        den0 = jnp.zeros((n, heads), s.dtype)
+        # checkpoint each step: scan-backward then saves only the O(n)
+        # carries per chunk and recomputes the chunk's [chunk, heads(, d)]
+        # internals — without this the residuals stack to full-E size again
+        (num, den), _ = jax.lax.scan(jax.checkpoint(acc_body), (num0, den0),
+                                     xs)
+        return num / jnp.maximum(den, 1e-16)[:, :, None].astype(num.dtype)
 
     def apply(
         self,
@@ -171,23 +265,32 @@ class GATModel:
             self._attend_dense if self.backend == "dense"
             else self._attend_segment
         )
-        prev = None
-        for layer in range(self.n_layers):
-            w = weights[layer]
+
+        def layer_fn(h, w, k_feat, k_attn, last):
             n_out = w["a_src"].shape[1]
             if training and self.dropouts[layer] > 0.0:
-                h = dropout(h, self.dropouts[layer], keys[2 * layer],
-                            training=True)
+                h = dropout(h, self.dropouts[layer], k_feat, training=True)
             hw = feature_transform(h, w["W"], precision=self.precision,
                                    out_dtype=dtype)
             hw3 = hw.reshape(hw.shape[0], self.heads, n_out)
             s = jnp.einsum("nhd,hd->nh", hw3, w["a_src"].astype(dtype))
             t = jnp.einsum("nhd,hd->nh", hw3, w["a_dst"].astype(dtype))
-            out = attend(graph, hw3, s, t, keys[2 * layer + 1], training)
-            if layer == self.n_layers - 1:
-                h = out.mean(axis=1)  # average heads → logits (paper eq. 6)
-            else:
-                h = out.reshape(out.shape[0], self.heads * n_out)
+            out = attend(graph, hw3, s, t, k_attn, training)
+            if last:
+                return out.mean(axis=1)  # average heads (paper eq. 6)
+            return out.reshape(out.shape[0], self.heads * n_out)
+
+        prev = None
+        for layer in range(self.n_layers):
+            last = layer == self.n_layers - 1
+            fn = layer_fn
+            if self.remat and training:
+                # recompute this layer's [E, heads, d] edge intermediates in
+                # the backward pass instead of storing them across the run
+                fn = jax.checkpoint(layer_fn, static_argnums=(4,))
+            h = fn(h, weights[layer], keys[2 * layer], keys[2 * layer + 1],
+                   last)
+            if not last:
                 if (
                     self.residual
                     and layer > 0

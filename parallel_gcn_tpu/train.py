@@ -90,6 +90,8 @@ def build_model(cfg: Config, dds: DeviceDataset):
             compute_dtype=cfg.tpu.compute_dtype,
             precision=cfg.tpu.matmul_precision,
             residual=cfg.gcn.residual,
+            remat=cfg.gcn.remat,
+            edge_chunk=cfg.tpu.edge_chunk,
         )
     dropout_impl = cfg.tpu.dropout_impl
     if dropout_impl == "auto":

@@ -46,6 +46,55 @@ def test_gat_forward_matches_golden(n_layers, heads):
                                    err_msg=backend)
 
 
+def test_gat_chunked_attention_matches_unchunked():
+    """The streaming (edge_chunk) segment attention must reproduce the
+    unchunked edge softmax exactly — forward and gradients (same math,
+    two-pass max/exp-accumulate formulation)."""
+    csr, g = _graph_pair(n=80, deg=6)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((csr.n_rows, 9)).astype(np.float32))
+    params = init_gat_params(jax.random.PRNGKey(3), 9, [5], 4, heads=3)
+
+    def loss(params, chunk):
+        model = GATModel(n_layers=2, dropouts=(0.0, 0.0), heads=3,
+                         backend="segment", precision="highest",
+                         edge_chunk=chunk)
+        logits = model.apply(params, x, g, training=False)
+        return jnp.sum(logits * jnp.cos(logits)), logits
+
+    (l0, out0), g0 = jax.value_and_grad(loss, has_aux=True)(params, 0)
+    # 100 does not divide the padded edge count — exercises the pad tail
+    (l1, out1), g1 = jax.value_and_grad(loss, has_aux=True)(params, 100)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_gat_remat_matches_plain():
+    """jax.checkpoint'd layers must not change the math — same logits and
+    gradients, just recomputed in backward."""
+    csr, g = _graph_pair(n=60, deg=5)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((csr.n_rows, 8)).astype(np.float32))
+    params = init_gat_params(jax.random.PRNGKey(5), 8, [6], 3, heads=2)
+
+    def loss(params, remat):
+        model = GATModel(n_layers=2, dropouts=(0.2, 0.2), heads=2,
+                         backend="segment", precision="highest", remat=remat)
+        logits = model.apply(params, x, g, training=True,
+                             key=jax.random.PRNGKey(9))
+        return jnp.sum(logits * logits)
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, True)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_gat_backend_gradient_parity():
     """dense (masked MXU softmax) and segment (edge softmax) are independent
     implementations of the same math — their gradients must agree."""
