@@ -147,6 +147,27 @@ def parse_svmlight_file(
     return csr, np.asarray(labels, dtype=np.int32), input_dim, output_dim
 
 
+def local_clustering_coefficient(csr: HostCSR, node: int) -> float:
+    """Local clustering coefficient of ``node`` over the self-loop-first CSR —
+    the exact semantics of the reference's (unused) graph-analysis experiment
+    (src/parser.cpp:135-162), quirks included: the adjacency here contains
+    the implicit self-loop, which the reference counts in the degree
+    denominator AND walks as a neighbor when counting triangles (only the
+    back-edge to ``node`` itself is skipped). Diagnostic only — nothing on
+    the training path consumes it, mirroring the reference."""
+    start, end = int(csr.indptr[node]), int(csr.indptr[node + 1])
+    edges = end - start
+    if edges <= 1:
+        return 0.0
+    nbrs = csr.indices[start:end]
+    triangles = 0
+    for nb in nbrs:
+        nn = csr.indices[int(csr.indptr[nb]):int(csr.indptr[nb + 1])]
+        nn = nn[nn != node]
+        triangles += int(np.isin(nn, nbrs).sum())
+    return 2.0 * triangles / (edges * (edges - 1))
+
+
 def parse_split_file(path: str) -> np.ndarray:
     return np.loadtxt(path, dtype=np.int32).reshape(-1)
 

@@ -183,3 +183,47 @@ def test_native_label_propagation_matches_numpy():
             pytest.skip("native lib unavailable")  # real failures must FAIL
         ref = _propagate_labels_numpy(rows, cols, 400, iters)
         np.testing.assert_array_equal(native, ref)
+
+
+def test_local_clustering_coefficient_matches_reference_semantics():
+    """Mirror of the reference's unused graph-analysis experiment
+    (src/parser.cpp:135-162) — verified against a literal transcription of
+    its triple loop on a small fixture (self-loop quirks included)."""
+    from parallel_gcn_tpu.data.graph import add_self_loops_csr
+    from parallel_gcn_tpu.data.parser import local_clustering_coefficient
+
+    rng = np.random.default_rng(3)
+    n = 24
+    nb = {i: set() for i in range(n)}
+    for _ in range(70):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            nb[a].add(int(b))
+            nb[b].add(int(a))
+    csr = add_self_loops_csr(
+        [np.array(sorted(nb[i]), dtype=np.int32) for i in range(n)]
+    )
+
+    def reference_loops(node):  # src/parser.cpp:135-162, line for line
+        start, end = int(csr.indptr[node]), int(csr.indptr[node + 1])
+        edges = end - start
+        if edges <= 1:
+            return 0.0
+        triangles = 0
+        for i in range(start, end):
+            neighbor = int(csr.indices[i])
+            for j in range(int(csr.indptr[neighbor]),
+                           int(csr.indptr[neighbor + 1])):
+                non = int(csr.indices[j])
+                if non == node:
+                    continue
+                for k in range(start, end):
+                    if int(csr.indices[k]) == non:
+                        triangles += 1
+                        break
+        return 2.0 * triangles / (edges * (edges - 1))
+
+    for node in range(n):
+        assert local_clustering_coefficient(csr, node) == pytest.approx(
+            reference_loops(node)
+        )
