@@ -887,6 +887,9 @@ def test_parallel_residual_matches_single_chip():
         ("segment", "all_gather", 5, 3, True, 2, 4, "scan"),
         ("hybrid", "boundary", 0, 2, False, 4, 2, "scan"),
         ("segment", "boundary", 0, 2, False, 4, 2, "eager"),
+        # adaptive push/pull halo composed with feat sharding (the hub
+        # fixture guarantees push-mode pairs actually exist)
+        ("segment", "adaptive", 0, 2, False, 4, 2, "scan"),
     ],
 )
 def test_fit_parallel_tp_matches_single_chip(backend, halo, es, n_layers,
@@ -904,7 +907,22 @@ def test_fit_parallel_tp_matches_single_chip(backend, halo, es, n_layers,
     old = pallas_bcsr._INTERPRET[0]
     pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
     try:
-        ds = _dataset()
+        if halo == "adaptive":
+            csr = _hub_csr()
+            rng = np.random.default_rng(0)
+            n = csr.n_rows
+            labels = rng.integers(0, 4, n).astype(np.int32)
+            feats = rng.standard_normal((n, 16)).astype(np.float32)
+            feats[np.arange(n), labels] += 2.0
+            split = rng.choice([1, 2, 3], size=n,
+                               p=[0.5, 0.25, 0.25]).astype(np.int32)
+            ds = Dataset(
+                name="hub", graph=csr, feature_csr=None, features=feats,
+                labels=labels, split=split, n_nodes=n, input_dim=16,
+                output_dim=4,
+            )
+        else:
+            ds = _dataset()
         gcn = GCNConfig(
             n_layers=n_layers, hidden_dims=(16,) * (n_layers - 1),
             dropouts=(0.0,) * n_layers, epochs=10, early_stopping=es,
