@@ -224,6 +224,33 @@ def test_gat_fit_parallel_matches_single_chip(halo, mode):
     assert abs(res_par.test_acc - res_one.test_acc) < 0.03
 
 
+def test_gat_fit_parallel_learns_with_dropout():
+    """Mesh GAT with feature + attention dropout (per-device folded keys)
+    must still learn the separable synthetic problem."""
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.2, 0.2),
+                      epochs=40, early_stopping=0, model="gat", heads=2,
+                      attn_dropout=0.2),
+        adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
+        tpu=TPUConfig(backend="segment", seed=4, n_devices=4,
+                      halo="boundary"),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    res = fit_parallel(cfg, ds)
+    assert res.history[-1, 0] < res.history[0, 0]
+    assert res.test_acc > 0.6, res.test_acc
+    assert np.isfinite(res.history).all()
+
+
 def test_gat_parallel_rejects_unsupported_layouts():
     from parallel_gcn_tpu.data.parser import Dataset
     from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
