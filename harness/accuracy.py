@@ -98,15 +98,12 @@ def main() -> int:
     ap.add_argument("--tag", default="",
                     help="suffix for the output file name")
     args = ap.parse_args()
-    from parallel_gcn_tpu.config import _parse_scalar
+    from parallel_gcn_tpu.config import parse_override
 
     overrides = {}
     for kv in args.set:
         k, v = kv.split("=", 1)
-        overrides[k] = (
-            [_parse_scalar(s) for s in v.split(",")] if "," in v
-            else _parse_scalar(v)
-        )
+        overrides[k] = parse_override(v)
     # accuracy statistics only mean something on real data: cora + citeseer
     # (pubmed/reddit features are unshipped blobs; see data/synthetic.py)
     datasets = args.datasets or ["cora", "citeseer"]

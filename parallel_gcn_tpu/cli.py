@@ -17,9 +17,9 @@ import jax
 
 from parallel_gcn_tpu.config import (
     Config,
-    _parse_scalar,
     default_params_path,
     load_config,
+    parse_override,
 )
 from parallel_gcn_tpu.data.parser import prepare_device_dataset
 from parallel_gcn_tpu.train import fit
@@ -56,10 +56,7 @@ def main(argv: list[str] | None = None) -> int:
         elif key == "resume_from":
             resume_from = val
         else:
-            overrides[key] = (
-                [_parse_scalar(v) for v in val.split(",")] if "," in val
-                else _parse_scalar(val)
-            )
+            overrides[key] = parse_override(val)
 
     try:
         cfg = load_config(params_file or default_params_path(dataset), overrides)

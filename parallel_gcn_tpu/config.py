@@ -149,7 +149,10 @@ class TPUConfig:
     # 0.155 ms/epoch), so this is OFF by default — it pays only for very
     # wide inputs with nonzero input dropout
     fuse_dropout_matmul: bool = False
-    edge_chunk: int = 0  # 0 = auto from memory budget
+    # segment-aggregation edge chunking: GCN 0 = auto from memory budget
+    # (ops.graphsum._pick_n_chunks); GAT 0 = unchunked (chunking there is a
+    # memory knob only — see models/gat.py _attend_segment_chunked)
+    edge_chunk: int = 0
     dense_threshold: int = 8192  # use dense Â·X below this many (padded) nodes
     node_pad: int = 8  # pad nodes to a multiple of this (TPU sublane)
     # hoist the input layer's Â·X out of the epoch loop when input dropout is 0
@@ -223,6 +226,10 @@ class TPUConfig:
             )
         if self.tp < 1:
             raise ValueError(f"tp must be >= 1, got {self.tp}")
+        if self.edge_chunk < 0:
+            raise ValueError(
+                f"edge_chunk must be >= 0 (0 = auto/off), got {self.edge_chunk}"
+            )
         if self.ce_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"ce_impl must be auto|xla|pallas, got {self.ce_impl!r}")
         if self.tile_dtype not in ("auto", "float32", "bfloat16", "int8"):
@@ -346,6 +353,14 @@ def _check_value_type(section: str, name: str, val):
             f"config key {name}={val!r} is not a valid {ftype}"
         )
     return val
+
+
+def parse_override(value: str):
+    """Parse one CLI-style override VALUE: a comma list becomes a list of
+    scalars, otherwise one scalar (shared by cli.py and harness --set)."""
+    if "," in value:
+        return [_parse_scalar(v) for v in value.split(",")]
+    return _parse_scalar(value)
 
 
 def load_config(path: str, overrides: dict | None = None) -> Config:

@@ -23,19 +23,18 @@ from parallel_gcn_tpu.config import Config
 from parallel_gcn_tpu.data.parser import TRAIN, VAL, Dataset
 from parallel_gcn_tpu.ops.dropout import dropout
 from parallel_gcn_tpu.ops.loss import l2_penalty as _l2_penalty_arr
-from parallel_gcn_tpu.optim import decayed_leaf as _decayed_leaf
+from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
+from parallel_gcn_tpu.optim import adam_step, decayed_leaf as _decayed_leaf
+from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
+
+AXIS = "nodes"
+FEAT = "feat"  # tensor-parallel mesh axis (SURVEY.md §2.4 TP row)
 
 
 def l2_penalty(w0):
     """Σw² of the decayed leaf (optim.decayed_leaf — the exact leaf
     adam_step's default decay mask updates; see train._l2_term)."""
     return _l2_penalty_arr(_decayed_leaf(w0))
-from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
-from parallel_gcn_tpu.optim import adam_step
-from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
-
-AXIS = "nodes"
-FEAT = "feat"  # tensor-parallel mesh axis (SURVEY.md §2.4 TP row)
 
 
 def make_mesh(n_devices: int | None = None, devices=None, tp: int = 1) -> Mesh:
@@ -411,6 +410,14 @@ def _make_forward(cfg: Config, sgraph):
             "softmax must stay device-local; tp is GCN-only) — set "
             "backend=segment, halo=all_gather|boundary, tp=1"
         )
+    if gat and cfg.tpu.edge_chunk:
+        # silently falling back to the unchunked per-device path would undo
+        # the memory bound the knob exists for
+        raise ValueError(
+            "edge_chunk streaming attention is single-chip only for now — "
+            "the mesh path's per-device edge set is already E/D; unset "
+            "edge_chunk (remat IS honored over the mesh)"
+        )
 
     def _aggregate(h, graph_args):
         # graph_args order matches _graph_specs: base arrays, then sym_scale
@@ -619,12 +626,10 @@ def _make_forward(cfg: Config, sgraph):
         else:
             keys = [None] * (2 * n_layers)
         live = (val != 0.0)[:, None]
-        prev = None
-        for layer in range(n_layers):
-            w = weights[layer]
+
+        def layer_fn(h, w, k_feat, k_attn, last):
             d_out = w["a_src"].shape[1]
-            h = dropout(h, dropouts[layer], keys[2 * layer],
-                        training=training)
+            h = dropout(h, dropouts[layer], k_feat, training=training)
             hw = feature_transform(h, w["W"], precision=precision,
                                    out_dtype=dtype)
             hw3 = hw.reshape(hw.shape[0], heads, d_out)
@@ -639,20 +644,33 @@ def _make_forward(cfg: Config, sgraph):
                                     indices_are_sorted=True)
             m = jnp.maximum(m, jnp.asarray(_NEG, e.dtype))
             wgt = jnp.where(live, jnp.exp(e - m[rowl]), 0.0)
-            den = jax.ops.segment_sum(wgt, rowl, num_segments=n_local,
+            # f32 accumulation: bf16 accumulators drop per-edge increments
+            # on high-degree rows (see models/gat.py)
+            den = jax.ops.segment_sum(wgt.astype(jnp.float32), rowl,
+                                      num_segments=n_local,
                                       indices_are_sorted=True)
-            alpha = wgt / jnp.maximum(den, 1e-16)[rowl]
+            alpha = wgt / jnp.maximum(den, 1e-16)[rowl].astype(wgt.dtype)
             if training and attn_rate > 0:
-                alpha = dropout(alpha, attn_rate, keys[2 * layer + 1],
-                                training=True)
+                alpha = dropout(alpha, attn_rate, k_attn, training=True)
             out = jax.ops.segment_sum(
-                alpha[:, :, None] * hw_buf[colb], rowl,
-                num_segments=n_local, indices_are_sorted=True,
-            )
-            if layer == n_layers - 1:
-                h = out.mean(axis=1)
-            else:
-                h = out.reshape(out.shape[0], heads * d_out)
+                (alpha[:, :, None] * hw_buf[colb]).astype(jnp.float32),
+                rowl, num_segments=n_local, indices_are_sorted=True,
+            ).astype(dtype)
+            if last:
+                return out.mean(axis=1)
+            return out.reshape(out.shape[0], heads * d_out)
+
+        prev = None
+        for layer in range(n_layers):
+            last = layer == n_layers - 1
+            fn = layer_fn
+            if cfg.gcn.remat and training:
+                # same lever as the single-chip model: recompute this
+                # layer's per-edge intermediates in backward
+                fn = jax.checkpoint(layer_fn, static_argnums=(4,))
+            h = fn(h, weights[layer], keys[2 * layer], keys[2 * layer + 1],
+                   last)
+            if not last:
                 if (
                     residual and layer > 0 and prev is not None
                     and prev.shape == h.shape
@@ -1152,7 +1170,6 @@ def fit_parallel(
     import os as _os
     import time as _time
 
-    from parallel_gcn_tpu.models.gcn import init_params
     from parallel_gcn_tpu.optim import init_adam
     from parallel_gcn_tpu.parallel.partition import (
         partition_graph,

@@ -72,6 +72,34 @@ def test_gat_chunked_attention_matches_unchunked():
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_gat_chunked_attn_dropout_deterministic_and_trains():
+    """The chunked path's attention dropout (fold_in-per-chunk key stream,
+    numerator-only masking == dropping normalized α) must be deterministic
+    under remat recompute (same seed → bit-identical loss/grads twice) and
+    must keep an unbiased mean (loss within noise of the undropped run's
+    scale — pinned loosely via finiteness + determinism + the e2e learning
+    test below)."""
+    csr, g = _graph_pair(n=80, deg=6)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((csr.n_rows, 9)).astype(np.float32))
+    params = init_gat_params(jax.random.PRNGKey(6), 9, [5], 4, heads=3)
+
+    def loss(params):
+        model = GATModel(n_layers=2, dropouts=(0.2, 0.2), heads=3,
+                         backend="segment", precision="highest",
+                         edge_chunk=100, attn_dropout=0.3, remat=True)
+        logits = model.apply(params, x, g, training=True,
+                             key=jax.random.PRNGKey(11))
+        return jnp.sum(logits * logits)
+
+    l0, g0 = jax.value_and_grad(loss)(params)
+    l1, g1 = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l0))
+    assert float(l0) == float(l1)  # remat recompute must reuse the SAME masks
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_gat_remat_matches_plain():
     """jax.checkpoint'd layers must not change the math — same logits and
     gradients, just recomputed in backward."""
@@ -239,7 +267,7 @@ def test_gat_fit_parallel_learns_with_dropout():
     cfg = Config(
         gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.2, 0.2),
                       epochs=40, early_stopping=0, model="gat", heads=2,
-                      attn_dropout=0.2),
+                      attn_dropout=0.2, remat=True),  # mesh remat path too
         adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
         tpu=TPUConfig(backend="segment", seed=4, n_devices=4,
                       halo="boundary"),
