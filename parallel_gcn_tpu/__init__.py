@@ -9,7 +9,8 @@ framework davide-gurrieri/parallel-GCN (surveyed in SURVEY.md):
   sparse/dense feature transform, inverted dropout, fused masked softmax
   cross-entropy with loss + accuracy (reference: src/module.cu).
 - models: N-layer GCN with per-layer dropout, selective L2 decay on the first
-  weight only (reference: src/gcn.cu).
+  weight only (reference: src/gcn.cu); plus a beyond-reference GAT family
+  (multi-head attention aggregation, models/gat.py).
 - optim: Adam with bias-corrected step size matching the reference math
   (reference: src/optim.cu).
 - parallel: node-partitioned multi-chip aggregation over a `jax.sharding.Mesh`
@@ -46,6 +47,7 @@ __all__ = [
     "fit",
     "fit_parallel",
     "GCNModel",
+    "GATModel",
     "__version__",
 ]
 
@@ -65,4 +67,8 @@ def __getattr__(name):
         from parallel_gcn_tpu.models.gcn import GCNModel
 
         return GCNModel
+    if name == "GATModel":
+        from parallel_gcn_tpu.models.gat import GATModel
+
+        return GATModel
     raise AttributeError(name)
