@@ -70,9 +70,10 @@ class GCNConfig:
     model: str = "gcn"
     heads: int = 8  # GAT attention heads (paper cora config)
     attn_dropout: float = 0.0  # GAT: dropout on normalized attention coeffs
-    # GAT: rematerialize layers in backward (jax.checkpoint) — trades one
-    # extra forward's FLOPs for O(L·E·heads·d) -> O(E·heads·d) activation
-    # memory; required for reddit-scale attention on one 16 GB chip
+    # rematerialize layers in backward (jax.checkpoint) — trades one extra
+    # forward's FLOPs for one-layer activation memory. GAT: required for
+    # reddit-scale attention on one 16 GB chip (O(L·E·heads·d) ->
+    # O(E·heads·d)); GCN: useful for deep models on huge graphs
     remat: bool = False
 
     def __post_init__(self):

@@ -72,6 +72,10 @@ class GCNModel:
     # approximation; the tuned reddit/pubmed configs (input dropout 0.0,
     # report p.13 Table 4) qualify.
     input_preagg: bool = False
+    # rematerialize each layer in backward (jax.checkpoint): useful for deep
+    # GCNs on graphs whose per-layer activations crowd HBM; same knob as the
+    # GAT's (cfg.gcn.remat)
+    remat: bool = False
     # the deferred-eval lane stacking (train._fused_deferred_forward) is valid
     # because Â is the SAME linear operator for the train and eval lanes —
     # attention models (gat.py) set this False
@@ -156,13 +160,18 @@ class GCNModel:
             assert self.dropouts[0] == 0.0, (
                 "input_preagg is only exact for training with zero input dropout"
             )
+        def layer_fn(h, weights, key, layer, skip_agg):
+            h = self.layer_pre(h, layer, weights, key, training)
+            if not skip_agg:
+                h = self.aggregate(h, graph)
+            return h
+
         prev = None
         for layer in range(self.n_layers):
-            h = self.layer_pre(h, layer, weights, keys[layer], training)
-            if layer == 0 and preagg:
-                pass  # x was Â·X already; (Â·X)·W0 == Â·(X·W0)
-            else:
-                h = self.aggregate(h, graph)
+            fn = layer_fn
+            if self.remat and training:
+                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
+            h = fn(h, weights, keys[layer], layer, layer == 0 and preagg)
             if (
                 self.residual
                 and 0 < layer < self.n_layers - 1

@@ -107,6 +107,7 @@ def build_model(cfg: Config, dds: DeviceDataset):
         precision=cfg.tpu.matmul_precision,
         dropout_impl=dropout_impl,
         fuse_dropout_matmul=cfg.tpu.fuse_dropout_matmul,
+        remat=cfg.gcn.remat,
     )
 
 

@@ -100,6 +100,35 @@ def test_gat_chunked_attn_dropout_deterministic_and_trains():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gcn_remat_matches_plain():
+    """remat on the GCN (deep model) must not change the math — same metric
+    trajectory as the plain run."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(remat):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=4, hidden_dims=(8, 8, 8),
+                          dropouts=(0.3,) * 4, epochs=8, early_stopping=0,
+                          residual=True, remat=remat),
+            tpu=TPUConfig(backend="segment", seed=3,
+                          matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        return fit(cfg, dds)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-5, atol=1e-6)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
+
+
 def test_gat_remat_matches_plain():
     """jax.checkpoint'd layers must not change the math — same logits and
     gradients, just recomputed in backward."""
