@@ -402,6 +402,13 @@ def _make_forward(cfg: Config, sgraph):
     dtype = jnp.dtype(cfg.tpu.compute_dtype)
     tp = max(getattr(cfg.tpu, "tp", 1), 1)
     sched = _tp_schedule(n_layers) if tp > 1 else None
+    if cfg.gcn.remat and tp > 1:
+        # checkpointing _tp_layer would re-run its collectives in backward;
+        # not implemented — fail loudly instead of silently ignoring the knob
+        raise ValueError(
+            "remat is not implemented for tensor-parallel layers — unset "
+            "remat or tp"
+        )
     gat = cfg.gcn.model == "gat"
     if gat and (hybrid or ring or adaptive or tp > 1):
         raise ValueError(
@@ -689,14 +696,22 @@ def _make_forward(cfg: Config, sgraph):
                               preagg)
         h = x_local.astype(dtype)
         keys = _keys(key, training)
+
+        def layer_fn(h, w, lkey, layer, skip_agg):
+            h = dropout(h, dropouts[layer], lkey, training=training)
+            h = feature_transform(h, w, precision=precision, out_dtype=dtype)
+            if not skip_agg:
+                h = _aggregate(h, graph_args).astype(dtype)
+            return h
+
         prev = None
         for layer in range(n_layers):
-            h = dropout(h, dropouts[layer], keys[layer], training=training)
-            h = feature_transform(
-                h, weights[layer], precision=precision, out_dtype=dtype
-            )
-            if not (layer == 0 and preagg):
-                h = _aggregate(h, graph_args).astype(dtype)
+            fn = layer_fn
+            if cfg.gcn.remat and training:
+                # same per-layer recompute lever as the single-chip model
+                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
+            h = fn(h, weights[layer], keys[layer], layer,
+                   layer == 0 and preagg)
             if (
                 residual
                 and 0 < layer < n_layers - 1
@@ -725,17 +740,22 @@ def _make_forward(cfg: Config, sgraph):
         keys = _keys(dkey, True)
 
         def prefix(h, training, preagg):
+            def layer_fn(h, w, lkey, layer, skip_agg):
+                h = dropout(h, dropouts[layer], lkey, training=training)
+                h = feature_transform(h, w, precision=precision,
+                                      out_dtype=dtype)
+                if not skip_agg:
+                    h = _aggregate(h, graph_args).astype(dtype)
+                return h
+
             prev = None
             for layer in range(L - 1):
-                h = dropout(
-                    h, dropouts[layer],
-                    keys[layer] if training else None, training=training,
-                )
-                h = feature_transform(
-                    h, weights[layer], precision=precision, out_dtype=dtype
-                )
-                if not (layer == 0 and preagg):
-                    h = _aggregate(h, graph_args).astype(dtype)
+                fn = layer_fn
+                if cfg.gcn.remat and training:
+                    fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
+                h = fn(h, weights[layer],
+                       keys[layer] if training else None, layer,
+                       layer == 0 and preagg)
                 if (
                     residual
                     and 0 < layer < L - 1

@@ -311,11 +311,21 @@ def _fused_deferred_forward(
 
     def prefix(h, training, preagg):
         # layers 0..L-2 of GCNModel.apply, via the shared per-layer core
+        def layer_fn(h, weights, key, layer, skip_agg):
+            h = model.layer_pre(h, layer, weights, key, training)
+            if not skip_agg:
+                h = agg(h)
+            return h
+
         prev = None
         for layer in range(L - 1):
-            h = model.layer_pre(h, layer, weights, keys[layer], training)
-            if not (layer == 0 and preagg):
-                h = agg(h)
+            fn = layer_fn
+            if model.remat and training:
+                # same lever as GCNModel.apply — without this the fused
+                # deferred path (the DEFAULT training schedule) would
+                # silently ignore the remat knob
+                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
+            h = fn(h, weights, keys[layer], layer, layer == 0 and preagg)
             if (
                 model.residual
                 and 0 < layer < L - 1

@@ -100,9 +100,15 @@ def test_gat_chunked_attn_dropout_deterministic_and_trains():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_gcn_remat_matches_plain():
-    """remat on the GCN (deep model) must not change the math — same metric
-    trajectory as the plain run."""
+@pytest.mark.parametrize("mode,es", [
+    ("scan", 0),    # fused deferred-eval path (_fused_deferred_forward)
+    ("scan", 4),    # while_loop path (GCNModel.apply)
+    ("eager", 0),
+])
+def test_gcn_remat_matches_plain(mode, es, monkeypatch):
+    """remat on the GCN must not change the math on ANY schedule — same
+    metric trajectory as the plain run — and must actually FIRE (a prior
+    version of the knob silently no-op'd on the default fused path)."""
     from parallel_gcn_tpu.data.parser import Dataset, to_device
 
     csr, x, labels, split = _synthetic()
@@ -113,18 +119,30 @@ def test_gcn_remat_matches_plain():
     )
     dds = to_device(ds)
 
+    calls = {"n": 0}
+    real_ckpt = jax.checkpoint
+
+    def counting(fn, **kw):
+        calls["n"] += 1
+        return real_ckpt(fn, **kw)
+
+    monkeypatch.setattr(jax, "checkpoint", counting)
+
     def run(remat):
         cfg = Config(
             gcn=GCNConfig(n_layers=4, hidden_dims=(8, 8, 8),
-                          dropouts=(0.3,) * 4, epochs=8, early_stopping=0,
+                          dropouts=(0.3,) * 4, epochs=8, early_stopping=es,
                           residual=True, remat=remat),
             tpu=TPUConfig(backend="segment", seed=3,
                           matmul_precision="highest"),
-            train=TrainConfig(verbose=False, mode="scan"),
+            train=TrainConfig(verbose=False, mode=mode),
         )
         return fit(cfg, dds)
 
-    a, b = run(False), run(True)
+    a = run(False)
+    before = calls["n"]
+    b = run(True)
+    assert calls["n"] > before, "remat=True never reached jax.checkpoint"
     np.testing.assert_allclose(a.history, b.history, rtol=1e-5, atol=1e-6)
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
@@ -306,6 +324,35 @@ def test_gat_fit_parallel_learns_with_dropout():
     assert res.history[-1, 0] < res.history[0, 0]
     assert res.test_acc > 0.6, res.test_acc
     assert np.isfinite(res.history).all()
+
+
+def test_gcn_remat_parallel_matches_plain():
+    """Mesh GCN remat (flat forward + fused-run stacked prefix) must be a
+    pure memory lever — identical metrics with it on or off."""
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+
+    def run(remat):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=3, hidden_dims=(8, 8),
+                          dropouts=(0.3,) * 3, epochs=8, early_stopping=0,
+                          remat=remat),
+            tpu=TPUConfig(backend="segment", seed=3, n_devices=4,
+                          halo="boundary", matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        return fit_parallel(cfg, ds)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a.history, b.history, rtol=1e-5, atol=1e-6)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
 def test_gat_parallel_rejects_unsupported_layouts():
