@@ -1375,7 +1375,7 @@ def fit_parallel(
                     if verbose:
                         print("Early stopping...")
                     break
-        history = np.asarray(rows, dtype=np.float32)
+        history = np.asarray(rows, dtype=np.float32).reshape(-1, 4)
         epochs_run = len(rows)
     total = _time.perf_counter() - t0
 

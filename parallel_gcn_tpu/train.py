@@ -737,7 +737,7 @@ def fit(
                     if verbose:
                         print("Early stopping...")
                     break
-        history = np.asarray(rows, dtype=np.float32)
+        history = np.asarray(rows, dtype=np.float32).reshape(-1, 4)
         epochs_run = len(rows)
     total_time = time.perf_counter() - t0
 
