@@ -65,11 +65,13 @@ class GCNConfig:
     epochs: int = 100
     early_stopping: int = 0
     residual: bool = False  # -DRESIDUAL_CONNECTIONS (include/module.cuh:149)
-    # model family: gcn (reference parity) or gat (models/gat.py — attention
-    # aggregation; hidden_dims are then PER-HEAD widths)
+    # model family: gcn (reference parity), gat (models/gat.py — attention
+    # aggregation; hidden_dims are then PER-HEAD widths), sage (GraphSAGE-mean)
+    # or gin (GIN-eps) — both in models/sage.py
     model: str = "gcn"
     heads: int = 8  # GAT attention heads (paper cora config)
     attn_dropout: float = 0.0  # GAT: dropout on normalized attention coeffs
+    gin_eps: float = 0.0  # GIN: fixed eps (the paper's GIN-0 default)
     # rematerialize layers in backward (jax.checkpoint) — trades one extra
     # forward's FLOPs for one-layer activation memory. GAT: required for
     # reddit-scale attention on one 16 GB chip (O(L·E·heads·d) ->
@@ -77,8 +79,10 @@ class GCNConfig:
     remat: bool = False
 
     def __post_init__(self):
-        if self.model not in ("gcn", "gat"):
-            raise ValueError(f"model must be gcn|gat, got {self.model!r}")
+        if self.model not in ("gcn", "gat", "sage", "gin"):
+            raise ValueError(
+                f"model must be gcn|gat|sage|gin, got {self.model!r}"
+            )
         if self.heads < 1:
             raise ValueError(f"heads must be >= 1, got {self.heads}")
         if not 0.0 <= self.attn_dropout < 1.0:
@@ -279,6 +283,7 @@ _KEYMAP = {
     "model": ("gcn", "model"),
     "heads": ("gcn", "heads"),
     "attn_dropout": ("gcn", "attn_dropout"),
+    "gin_eps": ("gcn", "gin_eps"),
     "remat": ("gcn", "remat"),
     "learning_rate": ("adam", "learning_rate"),
     "weight_decay": ("adam", "weight_decay"),

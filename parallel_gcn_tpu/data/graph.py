@@ -55,6 +55,13 @@ class Graph:
     # False when row/col/val do NOT contain the whole edge set (hybrid builds,
     # including ones demoted to pure-BCSR because the residual came out empty)
     coo_complete: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # sqrt(deg), self-loop-inclusive, [n_nodes] f32, 1.0 on padding rows.
+    # Lets aggregation-variant models reuse the symmetric-Â machinery through
+    # exact diagonal rewrites: (A+I)·h = s ⊙ Â·(s ⊙ h) with s = sqrt(deg)
+    # (models/sage.py SUM and MEAN aggregators) — every backend (dense, tile
+    # pack, int8 pattern, segment) and the backward-equals-forward shortcut
+    # come along for free.
+    sqrt_deg: jnp.ndarray | None = None
 
     @property
     def n_edges_pad(self) -> int:
@@ -322,6 +329,11 @@ def build_graph(
         )
         assert bcsr_pack.n_nodes == n_pad
 
+    sqrt_deg_np = np.ones(n_pad, dtype=np.float32)
+    sqrt_deg_np[: csr.n_rows] = np.sqrt(
+        np.diff(csr.indptr).astype(np.float32)
+    )
+
     return Graph(
         row=jnp.asarray(row),
         col=jnp.asarray(col),
@@ -333,6 +345,7 @@ def build_graph(
         n_real_edges=csr.nnz,
         is_hybrid=hybrid,
         coo_complete=coo_complete,
+        sqrt_deg=jnp.asarray(sqrt_deg_np),
     )
 
 

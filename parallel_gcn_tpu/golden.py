@@ -232,3 +232,55 @@ def golden_gat_forward(
             h = out.reshape(csr_n, heads * d)
             h = np.where(h > 0, h, np.expm1(h)).astype(np.float32)  # ELU
     return h.astype(np.float32)
+
+
+def _adjacency_plus_I(graph: HostCSR) -> np.ndarray:
+    """Dense 0/1 (A+I) from the self-loop-first CSR — built from the INDEX
+    structure only, independent of the stored 1/sqrt(deg·deg) values, so it
+    is a true oracle for the diagonal-rewrite aggregators (models/sage.py)."""
+    n = graph.n_rows
+    a = np.zeros((n, n), dtype=np.float32)
+    a[graph.row_ids(), graph.indices] = 1.0
+    return a
+
+
+def golden_sage_forward(
+    params: list[dict], x: np.ndarray, graph: HostCSR
+) -> np.ndarray:
+    """GraphSAGE-mean forward oracle (no dropout): dense NumPy re-expression
+    of models/sage.py SAGEModel — h' = act(h·W_self + mean_{N∪{i}}(h)·W_neigh)
+    with the mean over the self-loop-inclusive neighborhood (paper
+    arXiv:1706.02216, mean aggregator)."""
+    a = _adjacency_plus_I(graph)
+    mean_op = a / a.sum(axis=1, keepdims=True)
+    h = x.astype(np.float32)
+    L = len(params)
+    for layer in range(L):
+        w = params[layer]
+        h = h @ w["self"].astype(np.float32) + mean_op @ (
+            h @ w["neigh"].astype(np.float32)
+        )
+        if layer < L - 1:
+            h = np.maximum(h, 0.0)
+    return h.astype(np.float32)
+
+
+def golden_gin_forward(
+    params: list[dict], x: np.ndarray, graph: HostCSR, eps: float = 0.0
+) -> np.ndarray:
+    """GIN-eps forward oracle (no dropout): dense NumPy re-expression of
+    models/sage.py GINModel — z = (1+eps)·h_i + Σ_{N(i)} h_j, then the
+    2-layer MLP per inner layer / single linear classifier on the last
+    (paper arXiv:1810.00826 eq. 4.1)."""
+    a = _adjacency_plus_I(graph)
+    h = x.astype(np.float32)
+    L = len(params)
+    for layer in range(L):
+        # self-loop-inclusive sum + eps·h == (1+eps)·h + sum over N(i)
+        z = eps * h + a @ h
+        w = params[layer]
+        z = z @ w["w1"].astype(np.float32)
+        if "w2" in w:
+            z = np.maximum(z, 0.0) @ w["w2"].astype(np.float32)
+        h = np.maximum(z, 0.0) if layer < L - 1 else z
+    return h.astype(np.float32)

@@ -409,6 +409,12 @@ def _make_forward(cfg: Config, sgraph):
             "remat is not implemented for tensor-parallel layers — unset "
             "remat or tp"
         )
+    if cfg.gcn.model in ("sage", "gin"):
+        # same guard fit_parallel applies, for direct _make_forward callers
+        raise ValueError(
+            f"model={cfg.gcn.model} is single-chip only for now — "
+            "use train.fit, or model=gcn|gat over the mesh"
+        )
     gat = cfg.gcn.model == "gat"
     if gat and (hybrid or ring or adaptive or tp > 1):
         raise ValueError(
@@ -1211,6 +1217,15 @@ def fit_parallel(
     validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim, tp)
     verbose = cfg.train.verbose if verbose is None else verbose
 
+    if cfg.gcn.model in ("sage", "gin"):
+        # the aggregation-variant families (models/sage.py) are single-chip
+        # for now: their diagonal sqrt(deg) rewrites need the per-shard
+        # degree vector threaded through the halo exchange (the scaled rows
+        # are what must travel), which the partitioner does not carry yet
+        raise ValueError(
+            f"model={cfg.gcn.model} is single-chip only for now — "
+            "use train.fit (n_devices=1), or model=gcn|gat over the mesh"
+        )
     if cfg.gcn.model == "gat" and (
         halo in ("ring", "adaptive") or tp > 1
         or cfg.tpu.backend in ("hybrid", "bcsr")

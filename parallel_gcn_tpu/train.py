@@ -60,6 +60,18 @@ def init_model_params(cfg: Config, init_key, input_dim: int, output_dim: int):
             init_key, input_dim, cfg.gcn.hidden_dims, output_dim,
             cfg.gcn.heads,
         )
+    if cfg.gcn.model == "sage":
+        from parallel_gcn_tpu.models.sage import init_sage_params
+
+        return init_sage_params(
+            init_key, input_dim, cfg.gcn.hidden_dims, output_dim
+        )
+    if cfg.gcn.model == "gin":
+        from parallel_gcn_tpu.models.sage import init_gin_params
+
+        return init_gin_params(
+            init_key, input_dim, cfg.gcn.hidden_dims, output_dim
+        )
     return init_params(init_key, input_dim, cfg.gcn.hidden_dims, output_dim)
 
 
@@ -96,6 +108,24 @@ def build_model(cfg: Config, dds: DeviceDataset):
     dropout_impl = cfg.tpu.dropout_impl
     if dropout_impl == "auto":
         dropout_impl = "threefry" if jax.default_backend() == "cpu" else "pallas"
+    if cfg.gcn.model in ("sage", "gin"):
+        from parallel_gcn_tpu.models.sage import GINModel, SAGEModel
+
+        common = dict(
+            n_layers=cfg.gcn.n_layers,
+            dropouts=tuple(cfg.gcn.dropouts),
+            backend=backend,
+            edge_chunk=cfg.tpu.edge_chunk,
+            dense_threshold=cfg.tpu.dense_threshold,
+            compute_dtype=cfg.tpu.compute_dtype,
+            precision=cfg.tpu.matmul_precision,
+            dropout_impl=dropout_impl,
+            remat=cfg.gcn.remat,
+            residual=cfg.gcn.residual,
+        )
+        if cfg.gcn.model == "sage":
+            return SAGEModel(**common)
+        return GINModel(gin_eps=cfg.gcn.gin_eps, **common)
     return GCNModel(
         n_layers=cfg.gcn.n_layers,
         dropouts=tuple(cfg.gcn.dropouts),
