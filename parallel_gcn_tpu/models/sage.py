@@ -35,8 +35,11 @@ self-loop-inclusive sum gives (1+eps)·h_i + Σ_{N(i)} = eps·h_i + Σ_{N(i)∪{
 Both models run on the standard trainer (train.fit, scan or eager mode) with
 dropout before every transform, the reference's Adam and first-leaf weight
 decay (optim.decayed_leaf: SAGE decays layer 0's W_neigh, GIN layer 0's w1),
-early stopping, and checkpointing. Single-chip for now; the mesh trainer
-raises a config-time error (parallel/train_parallel.py).
+early stopping, and checkpointing — and over the mesh (fit_parallel) with
+every halo mode: the rewrites scale the LOCAL rows before the distributed
+aggregation, so the scaled rows are what the halo exchanges ship
+(parallel/train_parallel.forward_agg_variant; sqrt_deg rides row-sharded).
+Tensor parallelism is GCN-only (config-time error).
 """
 
 from __future__ import annotations
@@ -118,9 +121,12 @@ class _AggVariantBase:
     dropout_impl: str = "threefry"
     remat: bool = False
     residual: bool = False
-    # no loop-invariant first Â-aggregation (layer algebra differs from the
-    # GCN's transform→aggregate), so no input_preagg / deferred-eval fusion;
-    # train.preaggregate_input keys off the absence of an `aggregate` attr
+    # trainer-contract field (train.make_eval_fn / make_epoch_step read
+    # model.input_preagg unconditionally): always False here — there is no
+    # loop-invariant first Â-aggregation to hoist (layer algebra differs from
+    # the GCN's transform→aggregate), and train.preaggregate_input keys off
+    # the absence of an `aggregate` attr so it never flips this on
+    input_preagg: bool = False
     supports_deferred_eval = False
 
     def _dropout(self, h, rate, key, training):

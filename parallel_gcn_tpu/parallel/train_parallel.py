@@ -409,11 +409,13 @@ def _make_forward(cfg: Config, sgraph):
             "remat is not implemented for tensor-parallel layers — unset "
             "remat or tp"
         )
-    if cfg.gcn.model in ("sage", "gin"):
-        # same guard fit_parallel applies, for direct _make_forward callers
+    agg_variant = cfg.gcn.model in ("sage", "gin")
+    if agg_variant and tp > 1:
+        # two matmuls (SAGE) / an MLP (GIN) per layer don't fit the GCN's
+        # col/row Megatron schedule — loud config error, not silent fallback
         raise ValueError(
-            f"model={cfg.gcn.model} is single-chip only for now — "
-            "use train.fit, or model=gcn|gat over the mesh"
+            f"model={cfg.gcn.model} does not support tensor parallelism — "
+            "unset tp (node partitioning + every halo mode DO compose)"
         )
     gat = cfg.gcn.model == "gat"
     if gat and (hybrid or ring or adaptive or tp > 1):
@@ -693,10 +695,73 @@ def _make_forward(cfg: Config, sgraph):
                 prev = h
         return h.astype(jnp.float32)
 
+    def forward_agg_variant(weights, x_local, graph_args, training, key,
+                            preagg=False):
+        """Mesh SAGE/GIN forward (models/sage.py over the node partition).
+
+        The exact diagonal rewrites route everything through the SAME
+        distributed Â·x operator: SUM = s ⊙ Â·(s ⊙ h), MEAN = Â·(s ⊙ h) / s
+        with s = sqrt(deg) row-sharded like x. The scaling is applied to the
+        LOCAL rows before _aggregate, so the scaled rows are what every halo
+        design ships (boundary all_to_all, adaptive push partials, ring
+        blocks, tile slabs, int8 scaled packs) — no exchange-path changes.
+        ``graph_args`` carries sdeg_local LAST (sharded_sqrt_deg /
+        _graph_specs with_sdeg contract)."""
+        assert not preagg  # no loop-invariant first aggregation to hoist
+        sdeg, gargs = graph_args[-1], graph_args[:-1]
+        sage = cfg.gcn.model == "sage"
+        h = x_local.astype(dtype)
+        keys = _keys(key, training)
+        s = sdeg.astype(dtype)[:, None]
+        eps = jnp.asarray(cfg.gcn.gin_eps, dtype)
+
+        def layer_fn(h, w, lkey, layer):
+            h = dropout(h, dropouts[layer], lkey, training=training)
+            if sage:
+                h_self = feature_transform(
+                    h, w["self"], precision=precision, out_dtype=dtype
+                )
+                h_neigh = feature_transform(
+                    h, w["neigh"], precision=precision, out_dtype=dtype
+                )
+                mean = (_aggregate(s * h_neigh, gargs) / s).astype(dtype)
+                return h_self + mean
+            z = eps * h + (s * _aggregate(s * h, gargs)).astype(dtype)
+            z = feature_transform(
+                z, w["w1"], precision=precision, out_dtype=dtype
+            )
+            if "w2" in w:
+                z = feature_transform(
+                    jax.nn.relu(z), w["w2"], precision=precision,
+                    out_dtype=dtype,
+                )
+            return z
+
+        prev = None
+        for layer in range(n_layers):
+            fn = layer_fn
+            if cfg.gcn.remat and training:
+                fn = jax.checkpoint(layer_fn, static_argnums=(3,))
+            h = fn(h, weights[layer], keys[layer], layer)
+            if (
+                residual
+                and 0 < layer < n_layers - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
+            if layer < n_layers - 1:
+                h = jax.nn.relu(h)
+                prev = h
+        return h.astype(jnp.float32)
+
     def forward(weights, x_local, graph_args, training, key, preagg=False):
         if gat:
             return forward_gat(weights, x_local, graph_args, training, key,
                                preagg)
+        if agg_variant:
+            return forward_agg_variant(weights, x_local, graph_args,
+                                       training, key, preagg)
         if tp > 1:
             return forward_tp(weights, x_local, graph_args, training, key,
                               preagg)
@@ -797,16 +862,32 @@ def _make_forward(cfg: Config, sgraph):
 
     return SimpleNamespace(
         forward=forward, aggregate=_aggregate, forward_stacked=forward_stacked,
-        n_layers=n_layers, supports_stacked=not gat,
+        n_layers=n_layers, supports_stacked=not gat and not agg_variant,
     )
 
 
-def _graph_specs(sgraph):
+def sharded_sqrt_deg(ds, sgraph) -> np.ndarray:
+    """Row-sharded self-loop-inclusive sqrt(deg) [n_dev, n_local] (f32, 1.0 on
+    padding rows) — the diagonal of the SAGE/GIN rewrites, aligned with the
+    partition's node permutation like shard_dataset's arrays. Mirrors
+    data.graph.build_graph's single-chip Graph.sqrt_deg."""
+    s = np.ones(sgraph.n_nodes_pad, np.float32)
+    s[: ds.n_nodes] = np.sqrt(np.diff(ds.graph.indptr).astype(np.float32))
+    perm = getattr(sgraph, "node_perm", None)
+    if perm is not None:
+        s = s[perm]
+    return s.reshape(sgraph.n_dev, sgraph.n_local)
+
+
+def _graph_specs(sgraph, with_sdeg: bool = False):
     """(in_specs tuple, array tuple) for the partition's graph arrays.
 
     Order contract (mirrored by _make_forward._aggregate): base arrays, then
     sym_scale when present (int8 packs), then send_idx when present (boundary
-    halo), then the push group when present (adaptive halo)."""
+    halo), then the push group when present (adaptive halo).
+    ``with_sdeg=True`` (SAGE/GIN) reserves ONE extra trailing slot for the
+    sharded_sqrt_deg array, which device_put_sharded_inputs appends and
+    forward_agg_variant peels before _aggregate sees the tuple."""
     if isinstance(sgraph, HybridShardedGraph):
         arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
@@ -828,6 +909,8 @@ def _graph_specs(sgraph):
         arrays = arrays + (sgraph.push_row, sgraph.push_col,
                            sgraph.push_val, sgraph.push_recv)
         specs = specs + (P(AXIS, None),) * 4
+    if with_sdeg:
+        specs = specs + (P(AXIS, None),)
     return specs, arrays
 
 
@@ -850,7 +933,8 @@ def make_parallel_epoch_step(
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
     forward = _make_forward(cfg, sgraph).forward
-    graph_specs, _ = _graph_specs(sgraph)
+    graph_specs, _ = _graph_specs(
+        sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
     wspecs = _weight_specs(cfg.gcn.n_layers, tp)
 
     def _pen(w0):
@@ -924,7 +1008,8 @@ def make_parallel_eval_fn(
     tp = max(cfg.tpu.tp, 1)
     n = split_counts[split]
     forward = _make_forward(cfg, sgraph).forward
-    graph_specs, _ = _graph_specs(sgraph)
+    graph_specs, _ = _graph_specs(
+        sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
     wspecs = _weight_specs(cfg.gcn.n_layers, tp)
 
     def eval_step(weights, x_local, labels_local, split_local, *graph_args):
@@ -1009,7 +1094,8 @@ def make_parallel_run(
     n_train = split_counts[TRAIN]
     n_val = split_counts[VAL]
     pm = _make_forward(cfg, sgraph)
-    graph_specs, _ = _graph_specs(sgraph)
+    graph_specs, _ = _graph_specs(
+        sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
     wspecs = _weight_specs(cfg.gcn.n_layers, tp)
 
     def run(weights, opt_state, key, x_local, x_eval_local, labels_local,
@@ -1217,14 +1303,11 @@ def fit_parallel(
     validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim, tp)
     verbose = cfg.train.verbose if verbose is None else verbose
 
-    if cfg.gcn.model in ("sage", "gin"):
-        # the aggregation-variant families (models/sage.py) are single-chip
-        # for now: their diagonal sqrt(deg) rewrites need the per-shard
-        # degree vector threaded through the halo exchange (the scaled rows
-        # are what must travel), which the partitioner does not carry yet
+    agg_variant = cfg.gcn.model in ("sage", "gin")
+    if agg_variant and tp > 1:
         raise ValueError(
-            f"model={cfg.gcn.model} is single-chip only for now — "
-            "use train.fit (n_devices=1), or model=gcn|gat over the mesh"
+            f"model={cfg.gcn.model} does not support tensor parallelism — "
+            "unset tp (node partitioning + every halo mode DO compose)"
         )
     if cfg.gcn.model == "gat" and (
         halo in ("ring", "adaptive") or tp > 1
@@ -1274,8 +1357,9 @@ def fit_parallel(
                                  adaptive=halo == "adaptive")
     mesh = make_mesh(n_devices, tp=tp)
     x, labels, split = shard_dataset(ds, sgraph)
+    sdeg = sharded_sqrt_deg(ds, sgraph) if agg_variant else None
     x_dev, labels_dev, split_dev, *graph_dev = device_put_sharded_inputs(
-        mesh, sgraph, x, labels, split
+        mesh, sgraph, x, labels, split, sqrt_deg=sdeg
     )
     counts = {s: int((ds.split == s).sum()) for s in (TRAIN, VAL, 3)}
 
@@ -1314,8 +1398,10 @@ def fit_parallel(
     # train-side when input dropout is 0, eval-side always
     x_train_dev, x_eval_dev = x_dev, x_dev
     train_preagg = eval_preagg = False
-    if cfg.tpu.input_preagg and cfg.gcn.model == "gat":
-        pass  # no GAT analog (see train.fit) — ignore the default-True knob
+    if cfg.tpu.input_preagg and (cfg.gcn.model == "gat" or agg_variant):
+        # no analog for data-dependent (GAT) or interleaved (SAGE/GIN)
+        # layer algebra (see train.fit) — ignore the default-True knob
+        pass
     elif cfg.tpu.input_preagg and cfg.gcn.n_layers >= 2:
         x_agg = make_preagg_fn(cfg, mesh, sgraph)(x_dev, *graph_dev)
         if jnp.dtype(cfg.tpu.compute_dtype) != jnp.float32:
@@ -1419,12 +1505,19 @@ def fit_parallel(
     )
 
 
-def device_put_sharded_inputs(mesh: Mesh, sgraph, x, labels, split):
+def device_put_sharded_inputs(mesh: Mesh, sgraph, x, labels, split,
+                              sqrt_deg=None):
     """Place the row-sharded arrays on the mesh. Returns
-    (x, labels, split, *graph_arrays) matching the step/eval signatures."""
+    (x, labels, split, *graph_arrays) matching the step/eval signatures.
+    ``sqrt_deg`` (SAGE/GIN, from sharded_sqrt_deg) rides as the LAST graph
+    array per the _graph_specs with_sdeg contract."""
     row_sh = NamedSharding(mesh, P(AXIS))
     mat_sh = NamedSharding(mesh, P(AXIS, None))
-    graph_specs, graph_arrays = _graph_specs(sgraph)
+    graph_specs, graph_arrays = _graph_specs(
+        sgraph, with_sdeg=sqrt_deg is not None
+    )
+    if sqrt_deg is not None:
+        graph_arrays = graph_arrays + (sqrt_deg,)
     placed_graph = tuple(
         jax.device_put(a, NamedSharding(mesh, s))
         for a, s in zip(graph_arrays, graph_specs)

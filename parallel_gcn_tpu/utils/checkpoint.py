@@ -7,10 +7,12 @@ plain ``.npz`` — numeric arrays only, no pickling, so files stay loadable
 across environments.
 
 Two per-layer weight structures exist in the framework and both round-trip:
-the GCN's plain arrays (saved as ``w{i}``) and the GAT's {W, a_src, a_dst}
-dicts (saved as ``w{i}_W``/``w{i}_a_src``/``w{i}_a_dst``; np.savez would
+plain arrays (GCN; saved as ``w{i}``) and str-keyed dicts (GAT's
+{W, a_src, a_dst}, SAGE's {neigh, self}, GIN's {w1[, w2]}; saved as
+``w{i}_<key>`` plus a ``w{i}__keys`` string-array manifest — np.savez would
 otherwise silently PICKLE a dict as a 0-d object array that np.load then
-refuses to read back).
+refuses to read back). Loading falls back to the GAT key set for pre-manifest
+checkpoints.
 """
 
 from __future__ import annotations
@@ -28,8 +30,10 @@ _GAT_KEYS = ("W", "a_src", "a_dst")
 
 def _put(flat: dict, name: str, layer) -> None:
     if isinstance(layer, dict):
-        assert set(layer) == set(_GAT_KEYS), sorted(layer)
-        for k in _GAT_KEYS:
+        keys = sorted(layer)
+        assert all(isinstance(k, str) and k for k in keys), keys
+        flat[f"{name}__keys"] = np.asarray(keys)
+        for k in keys:
             flat[f"{name}_{k}"] = np.asarray(layer[k])
     else:
         flat[name] = np.asarray(layer)
@@ -38,7 +42,11 @@ def _put(flat: dict, name: str, layer) -> None:
 def _get(data, name: str):
     if name in data:
         return jnp.asarray(data[name])
-    return {k: jnp.asarray(data[f"{name}_{k}"]) for k in _GAT_KEYS}
+    if f"{name}__keys" in data:
+        keys = [str(k) for k in data[f"{name}__keys"]]
+    else:  # checkpoints written before the per-layer key manifest
+        keys = list(_GAT_KEYS)
+    return {k: jnp.asarray(data[f"{name}_{k}"]) for k in keys}
 
 
 def _state_to_flat(weights, opt_state: AdamState, epoch: int, key) -> dict:
