@@ -189,6 +189,12 @@ class TPUConfig:
     # graphs; COO backends only), ring (ppermute block rotation; COO only)
     n_devices: int = 0
     halo: str = "all_gather"
+    # auto-fallback to all_gather when the boundary/adaptive compact buffer
+    # would NOT be smaller than the gathered matrix (the all_to_all pads every
+    # pair slab to the max pair, so uniform boundary sets can overshoot) —
+    # a memory-saving halo must never cost MORE memory, silently. False keeps
+    # the requested layout and only warns (structural tests/dryruns).
+    halo_fallback: bool = True
     # tensor parallelism: size of the second ("feat") mesh axis. Weights
     # alternate Megatron-style column/row sharding over it, hidden
     # activations stay feature-sharded through the aggregations (which are
@@ -301,6 +307,7 @@ _KEYMAP = {
     "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
+    "halo_fallback": ("tpu", "halo_fallback"),
     "tp": ("tpu", "tp"),
     "balance_slabs": ("tpu", "balance_slabs"),
     "input_preagg": ("tpu", "input_preagg"),

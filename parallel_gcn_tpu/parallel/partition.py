@@ -246,9 +246,34 @@ def _build_push_slabs(rows, cols, vals, n_dev, n_local):
     return push_row, push_col, push_val, push_recv, int(push_slab)
 
 
+def _boundary_pays_off(n_local, n_dev, halo, n_pad, kind: str,
+                       fallback: bool) -> bool:
+    """Guard against a compact halo buffer that is NOT smaller than the full
+    all_gathered matrix (possible because the all_to_all pads every
+    (src, dst) slab to the max pair — a single skewed pair inflates all
+    n_dev² slabs; one tiled all_to_all cannot carry ragged per-pair sizes).
+    A user choosing boundary/adaptive to SAVE memory would get the opposite,
+    silently. Returns True when the buffer is strictly smaller; otherwise
+    warns and returns False (callers with ``fallback`` drop to all_gather)."""
+    n_buf = n_local + n_dev * halo
+    if n_buf < n_pad:
+        return True
+    import warnings
+
+    warnings.warn(
+        f"{kind} halo buffer ({n_buf} rows = {n_local} local + {n_dev} peers "
+        f"x {halo}-row slabs) is not smaller than the all_gathered matrix "
+        f"({n_pad} rows); the per-pair boundary sets are too uniform for the "
+        "max-padded all_to_all slabs to pay off"
+        + (" — falling back to the all_gather halo" if fallback else ""),
+        stacklevel=3,
+    )
+    return False
+
+
 def partition_graph(
     csr: HostCSR, n_dev: int, node_pad: int = 8, boundary: bool = False,
-    adaptive: bool = False,
+    adaptive: bool = False, boundary_fallback: bool = False,
 ) -> ShardedGraph:
     """Split a host CSR into ``n_dev`` contiguous row blocks.
 
@@ -261,6 +286,13 @@ def partition_graph(
     PAIR's edges in whichever direction ships fewer rows — pull raw feature
     rows or push partial sums (see the ShardedGraph docstring); on hub-heavy
     graphs this bounds the exchange slab by min(pull, push) per pair.
+
+    ``boundary_fallback=True``: when the compact buffer would not be smaller
+    than the all_gathered matrix, warn and return the plain all_gather
+    partition instead (see _boundary_pays_off) — fit_parallel sets this so a
+    user choosing halo=boundary to save memory never gets the opposite.
+    Default ``False`` keeps the requested layout (structural tests/dryruns),
+    warning only.
     """
     n_local = pad_to_multiple(-(-csr.n_rows // n_dev), node_pad)
     n_pad = n_local * n_dev
@@ -288,7 +320,19 @@ def partition_graph(
 
     send_idx, halo = None, 0
     if boundary:
-        col, send_idx, halo = _remap_cols_boundary(col, val, n_dev, n_local)
+        col_b, send_idx, halo = _remap_cols_boundary(col, val, n_dev, n_local)
+        if _boundary_pays_off(n_local, n_dev, halo,
+                              n_pad, "adaptive" if adaptive else "boundary",
+                              boundary_fallback):
+            col = col_b
+        elif boundary_fallback:
+            if adaptive:
+                # the push split already peeled edges out of rows/cols/vals;
+                # rebuild the plain partition from the CSR
+                return partition_graph(csr, n_dev, node_pad=node_pad)
+            send_idx, halo = None, 0
+        else:
+            col = col_b
 
     return ShardedGraph(
         row_local=row_local,
@@ -517,6 +561,7 @@ def partition_graph_hybrid(
     min_tile_nnz: int | None = None,
     boundary: bool = False,
     balance: bool = True,
+    boundary_fallback: bool = False,
 ) -> HybridShardedGraph:
     """Tile-accelerated row-block partition.
 
@@ -634,9 +679,17 @@ def partition_graph_hybrid(
 
     send_idx, halo = None, 0
     if boundary:
+        tcol0, res_col0 = tcol.copy(), res_col.copy()
         send_idx, halo = _hybrid_boundary(
             tiles, trow, tcol, res_col, res_val, n_dev, n_local, tile_c
         )
+        if not _boundary_pays_off(n_local, n_dev, halo, n_pad,
+                                  "hybrid-boundary", boundary_fallback):
+            if boundary_fallback:
+                # restore the global-coordinate layout (= all_gather halo);
+                # _hybrid_boundary rewrote tcol/res_col in place
+                tcol, res_col = tcol0, res_col0
+                send_idx, halo = None, 0
 
     return HybridShardedGraph(
         tiles=tiles, trow=trow, tcol=tcol,

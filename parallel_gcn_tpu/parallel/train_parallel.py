@@ -402,13 +402,6 @@ def _make_forward(cfg: Config, sgraph):
     dtype = jnp.dtype(cfg.tpu.compute_dtype)
     tp = max(getattr(cfg.tpu, "tp", 1), 1)
     sched = _tp_schedule(n_layers) if tp > 1 else None
-    if cfg.gcn.remat and tp > 1:
-        # checkpointing _tp_layer would re-run its collectives in backward;
-        # not implemented — fail loudly instead of silently ignoring the knob
-        raise ValueError(
-            "remat is not implemented for tensor-parallel layers — unset "
-            "remat or tp"
-        )
     agg_variant = cfg.gcn.model in ("sage", "gin")
     if agg_variant and tp > 1:
         # two matmuls (SAGE) / an MLP (GIN) per layer don't fit the GCN's
@@ -482,10 +475,34 @@ def _make_forward(cfg: Config, sgraph):
             return keys
         return [None] * n_layers
 
-    def _tp_layer(h, rep, layer, weights, graph_args, lkey, training, preagg):
+    # remat × tp: checkpointing a TP layer must NOT re-run its feat-axis
+    # collectives in the backward recompute — tag their outputs and save
+    # exactly those (everything else — dropout masks, matmul intermediates,
+    # the gathered halo buffers — is recomputed, which is the memory win)
+    from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+    _TP_SAVE = jax.checkpoint_policies.save_only_these_names("tp_comm")
+
+    def _rep_in_schedule():
+        """Static per-layer replication flags for the TP forward: rep_in[l]
+        says whether layer l's input is feat-replicated; gather_after[l] says
+        the inter-layer all_gather runs after layer l (next layer is 'col'
+        with a feat-sharded input)."""
+        rep_in, gather_after = [], []
+        rep = True
+        for i, kind in enumerate(sched):
+            rep_in.append(rep)
+            last = i == n_layers - 1
+            rep = kind == "row" and last
+            gather = (not last) and sched[i + 1] == "col" and not rep
+            gather_after.append(gather)
+            if gather:
+                rep = True
+        return rep_in, gather_after
+
+    def _tp_layer(h, rep, layer, w, graph_args, lkey, training, preagg):
         """One tensor-parallel layer: dropout → (sharded) matmul →
-        reduction/aggregation per the col/row schedule. ``rep`` says whether
-        ``h`` is feat-replicated; returns (h', rep').
+        reduction/aggregation per the col/row schedule. ``rep`` (static) says
+        whether ``h`` is feat-replicated; returns h'.
 
         The key property making every halo mode compose: Â·H is COLUMN-
         independent, so aggregating the feature-sharded [n_local, d/tp]
@@ -499,42 +516,57 @@ def _make_forward(cfg: Config, sgraph):
         if kind == "col":
             # input replicated; W [d_in, d_out/tp] → output feat-sharded
             h = feature_transform(
-                h, weights[layer], precision=precision, out_dtype=dtype
+                h, w, precision=precision, out_dtype=dtype
             )
             if not (layer == 0 and preagg):
                 h = _aggregate(h, graph_args).astype(dtype)
-            return h, False
+            return h
         if rep:
             # replicated input into a row-sharded weight: local slice is free
-            shard = weights[layer].shape[0]
+            shard = w.shape[0]
             h = jax.lax.dynamic_slice_in_dim(
                 h, jax.lax.axis_index(FEAT) * shard, shard, 1
             )
         partial = feature_transform(
-            h, weights[layer], precision=precision, out_dtype=dtype
+            h, w, precision=precision, out_dtype=dtype
         )
         if last:
             # n_classes wide: plain psum; the (tiny) aggregation replicates
-            h = jax.lax.psum(partial, FEAT)
+            h = _ckpt_name(jax.lax.psum(partial, FEAT), "tp_comm")
             if not (layer == 0 and preagg):
                 h = _aggregate(h, graph_args).astype(dtype)
-            return h, True
-        h = jax.lax.psum_scatter(
-            partial, FEAT, scatter_dimension=1, tiled=True
+            return h
+        h = _ckpt_name(
+            jax.lax.psum_scatter(partial, FEAT, scatter_dimension=1,
+                                 tiled=True),
+            "tp_comm",
         )
         if not (layer == 0 and preagg):
             h = _aggregate(h, graph_args).astype(dtype)
-        return h, False
+        return h
+
+    def _tp_layer_fn(layer, rep, training, preagg, graph_args):
+        """Bind a layer's static config; checkpoint when remat is on (the
+        tagged collectives stay saved — backward re-runs no feat-axis
+        collective; the halo exchange re-runs only where its output is not a
+        checkpoint boundary, i.e. never for these layer bodies)."""
+        def run(h, w, lkey):
+            return _tp_layer(h, rep, layer, w, graph_args, lkey, training,
+                             preagg)
+
+        if cfg.gcn.remat and training:
+            return jax.checkpoint(run, policy=_TP_SAVE)
+        return run
 
     def forward_tp(weights, x_local, graph_args, training, key, preagg=False):
         keys = _keys(key, training)
-        h, rep = x_local.astype(dtype), True
+        h = x_local.astype(dtype)
+        rep_in, gather_after = _rep_in_schedule()
         prev = None  # kept in the feat-sharded (pre-gather) form
         for layer in range(n_layers):
-            h, rep = _tp_layer(
-                h, rep, layer, weights, graph_args, keys[layer], training,
-                preagg,
-            )
+            fn = _tp_layer_fn(layer, rep_in[layer], training, preagg,
+                              graph_args)
+            h = fn(h, weights[layer], keys[layer])
             if (
                 residual
                 and 0 < layer < n_layers - 1
@@ -545,10 +577,9 @@ def _make_forward(cfg: Config, sgraph):
             if layer < n_layers - 1:
                 h = jax.nn.relu(h)
                 prev = h
-                if sched[layer + 1] == "col" and not rep:
+                if gather_after[layer]:
                     # next layer wants a replicated input
                     h = jax.lax.all_gather(h, FEAT, axis=1, tiled=True)
-                    rep = True
         return h.astype(jnp.float32)
 
     def forward_stacked_tp(weights, x_local, x_eval_local, graph_args, dkey,
@@ -558,15 +589,15 @@ def _make_forward(cfg: Config, sgraph):
         # feat and ONE last aggregation.
         L = n_layers
         keys = _keys(dkey, True)
+        rep_in, gather_after = _rep_in_schedule()
 
         def prefix(h, training, preagg):
-            rep, prev = True, None
+            prev = None
             ks = keys if training else [None] * L
             for layer in range(L - 1):
-                h, rep = _tp_layer(
-                    h, rep, layer, weights, graph_args, ks[layer], training,
-                    preagg,
-                )
+                fn = _tp_layer_fn(layer, rep_in[layer], training, preagg,
+                                  graph_args)
+                h = fn(h, weights[layer], ks[layer])
                 if (
                     residual
                     and 0 < layer < L - 1
@@ -576,10 +607,9 @@ def _make_forward(cfg: Config, sgraph):
                     h = h + prev
                 h = jax.nn.relu(h)
                 prev = h
-                if layer + 1 < L - 1 and sched[layer + 1] == "col" and not rep:
+                if layer + 1 < L - 1 and gather_after[layer]:
                     h = jax.lax.all_gather(h, FEAT, axis=1, tiled=True)
-                    rep = True
-            return h, rep
+            return h, rep_in[L - 1]
 
         share = (
             all(d == 0 for d in dropouts[: L - 1])
@@ -1346,6 +1376,8 @@ def fit_parallel(
             min_tile_nnz=cfg.tpu.min_tile_nnz or None,
             boundary=halo == "boundary",
             balance=cfg.tpu.balance_slabs,
+            # never ship a "compact" buffer bigger than the gathered matrix
+            boundary_fallback=cfg.tpu.halo_fallback,
         )
     elif halo == "ring":
         sgraph = partition_graph_ring(ds.graph, n_devices,
@@ -1354,7 +1386,8 @@ def fit_parallel(
         sgraph = partition_graph(ds.graph, n_devices,
                                  node_pad=cfg.tpu.node_pad,
                                  boundary=halo == "boundary",
-                                 adaptive=halo == "adaptive")
+                                 adaptive=halo == "adaptive",
+                                 boundary_fallback=cfg.tpu.halo_fallback)
     mesh = make_mesh(n_devices, tp=tp)
     x, labels, split = shard_dataset(ds, sgraph)
     sdeg = sharded_sqrt_deg(ds, sgraph) if agg_variant else None

@@ -37,6 +37,13 @@ from parallel_gcn_tpu.ops.loss import l2_penalty, masked_softmax_xent
 from parallel_gcn_tpu.optim import AdamState, adam_step, init_adam
 
 
+# fused-scan GAT containment threshold (padded edges): above this, the
+# scan+edge_chunk(+remat) program's runtime HBM footprint crashed the TPU
+# worker (measured at 11.8M edges; pubmed-scale ~0.5M runs fine) — fit()
+# falls back to eager with a warning. Conservative midpoint, env-specific.
+_GAT_SCAN_EDGE_LIMIT = 2_000_000
+
+
 @dataclass
 class FitResult:
     weights: list
@@ -718,8 +725,33 @@ def fit(
                 weights, opt_state, epoch, key,
             )
 
+    mode = cfg.train.mode
+    if (
+        mode == "scan"
+        and cfg.gcn.model == "gat"
+        and cfg.tpu.edge_chunk
+        and dds.graph.row.shape[0] > _GAT_SCAN_EDGE_LIMIT
+    ):
+        # containment for a measured failure mode: wrapping the CHUNKED
+        # streaming attention epoch in the fused whole-run lax.scan crashes
+        # the TPU worker at reddit scale (compiles fine; the crash tracks
+        # runtime HBM pressure — the same program runs at pubmed scale, see
+        # PERFORMANCE.md). A worker crash must never be what the user sees:
+        # run the per-epoch jit instead, which trains the identical model.
+        import warnings
+
+        warnings.warn(
+            f"model=gat with edge_chunk at {dds.graph.row.shape[0]} padded "
+            "edges: the fused scan-mode program exceeds runtime HBM at this "
+            "scale — falling back to mode=eager (identical model/metrics, "
+            "one host round-trip per epoch). Set edge_chunk=0 to keep scan "
+            "mode if the unchunked attention fits",
+            stacklevel=2,
+        )
+        mode = "eager"
+
     t0 = time.perf_counter()
-    if cfg.train.mode == "scan":
+    if mode == "scan":
         import copy
 
         def build_run(n_epochs):

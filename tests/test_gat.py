@@ -253,6 +253,55 @@ def test_gat_scan_matches_eager():
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
+def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
+    """VERDICT round-2 item 8: at reddit scale the fused scan + edge_chunk
+    attention program crashes the TPU worker (runtime HBM) — fit() must
+    detect the combination above the containment threshold and run the eager
+    per-epoch path with a warning, never hand the user a worker crash. The
+    fallback trains the identical model: trajectories match an explicit
+    eager run exactly."""
+    import parallel_gcn_tpu.train as train_mod
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(mode):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.3, 0.3),
+                          epochs=6, early_stopping=0, model="gat", heads=2,
+                          remat=True),
+            tpu=TPUConfig(backend="segment", dense_threshold=0,
+                          matmul_precision="highest", seed=7, edge_chunk=64),
+            train=TrainConfig(verbose=False, mode=mode),
+        )
+        return fit(cfg, dds)
+
+    # below the threshold: scan mode proceeds (no warning)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res_scan = run("scan")
+
+    # shrink the threshold so this fixture counts as "reddit scale"
+    monkeypatch.setattr(train_mod, "_GAT_SCAN_EDGE_LIMIT", 10)
+    with pytest.warns(UserWarning, match="falling back to mode=eager"):
+        res_fb = run("scan")
+    res_eager = run("eager")
+    np.testing.assert_allclose(res_fb.history, res_eager.history,
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(res_fb.history).all()
+    # and the fallback matches the (structurally sound) scan trajectory too
+    np.testing.assert_allclose(res_fb.history, res_scan.history,
+                               rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("halo,mode", [
     ("all_gather", "scan"),
     ("boundary", "scan"),
@@ -276,7 +325,7 @@ def test_gat_fit_parallel_matches_single_chip(halo, mode):
     cfg = Config(
         gcn=gcn_cfg,
         tpu=TPUConfig(backend="segment", seed=7, n_devices=4, halo=halo,
-                      matmul_precision="highest"),
+                      matmul_precision="highest", halo_fallback=False),
         train=TrainConfig(verbose=False, mode=mode),
     )
     res_par = fit_parallel(cfg, ds)
@@ -317,7 +366,7 @@ def test_gat_fit_parallel_learns_with_dropout():
                       attn_dropout=0.2, remat=True),  # mesh remat path too
         adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
         tpu=TPUConfig(backend="segment", seed=4, n_devices=4,
-                      halo="boundary"),
+                      halo="boundary", halo_fallback=False),
         train=TrainConfig(verbose=False, mode="scan"),
     )
     res = fit_parallel(cfg, ds)
@@ -345,7 +394,8 @@ def test_gcn_remat_parallel_matches_plain():
                           dropouts=(0.3,) * 3, epochs=8, early_stopping=0,
                           remat=remat),
             tpu=TPUConfig(backend="segment", seed=3, n_devices=4,
-                          halo="boundary", matmul_precision="highest"),
+                          halo="boundary", matmul_precision="highest",
+                          halo_fallback=False),
             train=TrainConfig(verbose=False, mode="scan"),
         )
         return fit_parallel(cfg, ds)

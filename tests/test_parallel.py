@@ -491,6 +491,77 @@ def test_boundary_halo_buffer_is_compact():
     assert sgh.n_buf < sgh.n_nodes_pad // 3
 
 
+def test_boundary_cost_guard_warns_and_falls_back():
+    """VERDICT round-2 weak item 5: the all_to_all pads every (src, dst) slab
+    to the max pair, so on a uniform random graph the 'compact' buffer can
+    EXCEED the all_gathered matrix. The partition must warn; with
+    boundary_fallback it must return the all_gather layout instead — a
+    memory-saving option silently costing more memory is the bug."""
+    from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+
+    csr, _ = random_graph(200, 6, seed=0)  # near-complete boundary sets
+
+    # warn-only default (structural tests/dryruns keep the layout under test)
+    with pytest.warns(UserWarning, match="not smaller than the all_gathered"):
+        sg = partition_graph(csr, 4, boundary=True)
+    assert sg.send_idx is not None
+    assert sg.n_buf >= sg.n_nodes_pad  # the fixture premise
+
+    # fallback: plain all_gather partition, bit-identical to boundary=False
+    with pytest.warns(UserWarning, match="falling back to the all_gather"):
+        sg_fb = partition_graph(csr, 4, boundary=True, boundary_fallback=True)
+    assert sg_fb.send_idx is None and sg_fb.halo_size == 0
+    plain = partition_graph(csr, 4)
+    np.testing.assert_array_equal(sg_fb.col, plain.col)
+    np.testing.assert_array_equal(sg_fb.val, plain.val)
+
+    # adaptive: the push split must be discarded too (pure all_gather layout)
+    with pytest.warns(UserWarning, match="falling back to the all_gather"):
+        sg_ad = partition_graph(csr, 4, adaptive=True, boundary_fallback=True)
+    assert sg_ad.send_idx is None and sg_ad.push_slab == 0
+    np.testing.assert_array_equal(sg_ad.col, plain.col)
+
+    # hybrid slabs: tcol/res_col must be restored to global coordinates
+    with pytest.warns(UserWarning, match="falling back to the all_gather"):
+        sgh_fb = partition_graph_hybrid(
+            csr, 4, tile_r=128, tile_c=128, min_tile_nnz=4, boundary=True,
+            boundary_fallback=True,
+        )
+    assert sgh_fb.send_idx is None
+    sgh_plain = partition_graph_hybrid(csr, 4, tile_r=128, tile_c=128,
+                                       min_tile_nnz=4)
+    np.testing.assert_array_equal(sgh_fb.res_col, sgh_plain.res_col)
+
+    # a LOCAL graph must not warn: small boundary sets genuinely pay off
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        sg_ok = partition_graph(_banded_csr(1024, 3), 8, boundary=True,
+                                boundary_fallback=True)
+    assert sg_ok.send_idx is not None
+
+
+def test_fit_parallel_boundary_fallback_end_to_end():
+    """halo=boundary on a graph where the compact buffer loses must still
+    train (on the all_gather layout) and warn — never hand the user a layout
+    that inflates memory."""
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    ds = _dataset()  # random fixture: boundary never pays off here
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                      epochs=5, early_stopping=0),
+        tpu=TPUConfig(backend="segment", seed=7, n_devices=4,
+                      halo="boundary"),  # halo_fallback defaults True
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    with pytest.warns(UserWarning, match="falling back to the all_gather"):
+        res = fit_parallel(cfg, ds)
+    assert np.isfinite(res.history).all()
+    assert res.history[-1, 0] < res.history[0, 0]
+
+
 @pytest.mark.parametrize("tile_r,tile_c,dtype,balance,tol", [
     (128, 128, np.float32, False, 2e-5),
     (128, 256, np.float32, False, 2e-5),   # rectangular blocks in the halo
@@ -670,7 +741,8 @@ def test_fit_parallel_scan_matches_single_chip(backend, halo, es, tile_dtype,
                           epochs=12, early_stopping=es),
             tpu=TPUConfig(backend=backend, seed=7, n_devices=4, halo=halo,
                           min_tile_nnz=4, matmul_precision="highest",
-                          tile_dtype=tile_dtype, input_preagg=preagg),
+                          tile_dtype=tile_dtype, input_preagg=preagg,
+                          halo_fallback=False),
             train=TrainConfig(verbose=False, mode="scan"),
         )
         res_par = fit_parallel(cfg, ds)
@@ -713,7 +785,7 @@ def test_fit_parallel_scan_checkpoint_and_resume(tmp_path):
             gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.4, 0.3),
                           epochs=12, early_stopping=0),
             tpu=TPUConfig(backend="segment", seed=7, n_devices=4,
-                          halo="boundary"),
+                          halo="boundary", halo_fallback=False),
             train=TrainConfig(verbose=False, mode="scan",
                               checkpoint_dir=ckpt_dir,
                               checkpoint_every=every),
@@ -746,7 +818,8 @@ def test_fit_parallel_end_to_end(halo):
     cfg = Config(
         gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
                       epochs=40, early_stopping=8),
-        tpu=TPUConfig(backend="segment", seed=7, n_devices=8, halo=halo),
+        tpu=TPUConfig(backend="segment", seed=7, n_devices=8, halo=halo,
+                      halo_fallback=False),
         train=TrainConfig(verbose=False),
     )
     res = fit_parallel(cfg, ds)
@@ -932,7 +1005,7 @@ def test_fit_parallel_tp_matches_single_chip(backend, halo, es, n_layers,
             gcn=gcn,
             tpu=TPUConfig(backend=backend, seed=7, n_devices=n_dev, tp=tp,
                           halo=halo, min_tile_nnz=4,
-                          matmul_precision="highest"),
+                          matmul_precision="highest", halo_fallback=False),
             train=TrainConfig(verbose=False, mode=mode),
         )
         res_par = fit_parallel(cfg, ds)
@@ -1006,6 +1079,36 @@ def test_fit_parallel_tp_learns_with_dropout():
     assert res.history[-1, 0] < res.history[0, 0]
     assert res.test_acc > 0.5
     assert np.isfinite(res.history).all()
+
+
+@pytest.mark.parametrize("n_layers,mode", [(2, "scan"), (3, "eager")])
+def test_fit_parallel_tp_remat_matches_plain(n_layers, mode):
+    """remat × tp (VERDICT round-2 item 6): per-layer jax.checkpoint with the
+    save-the-tp-collectives policy must reproduce the plain TP trajectory
+    exactly — the recompute regenerates dropout masks from the same keys and
+    the tagged psum/psum_scatter outputs are saved, so no value changes.
+    Covers the even-L alternating schedule and the odd-L replicated-slice
+    path (where the inter-layer all_gather feeds a col layer)."""
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    ds = _dataset()
+
+    def run(remat):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=n_layers, hidden_dims=(16,) * (n_layers - 1),
+                          dropouts=(0.3,) * n_layers, epochs=8,
+                          early_stopping=0, remat=remat),
+            tpu=TPUConfig(backend="segment", seed=7, n_devices=4, tp=2,
+                          matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode=mode),
+        )
+        return fit_parallel(cfg, ds)
+
+    res_plain = run(False)
+    res_remat = run(True)
+    np.testing.assert_allclose(res_remat.history, res_plain.history,
+                               rtol=1e-5, atol=1e-6)
+    assert res_remat.test_acc == pytest.approx(res_plain.test_acc, abs=1e-6)
 
 
 # ---------------------------------------------------------------------------

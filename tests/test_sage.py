@@ -300,7 +300,7 @@ def test_fit_parallel_matches_single_chip(model, halo, backend,
     cfg = Config(
         gcn=gcn_cfg,
         tpu=TPUConfig(backend=backend, seed=7, n_devices=4, halo=halo,
-                      matmul_precision="highest",
+                      matmul_precision="highest", halo_fallback=False,
                       min_tile_nnz=4 if backend == "hybrid" else 0),
         train=TrainConfig(verbose=False, mode="scan"),
     )
@@ -339,7 +339,7 @@ def test_fit_parallel_learns_with_dropout_and_remat():
                           remat=True),
             adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
             tpu=TPUConfig(backend="segment", seed=4, n_devices=4,
-                          halo="boundary"),
+                          halo="boundary", halo_fallback=False),
             train=TrainConfig(verbose=False, mode=mode),
         )
         res = fit_parallel(cfg, ds)
