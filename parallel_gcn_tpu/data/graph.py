@@ -108,9 +108,45 @@ def normalized_adjacency_values(indptr: np.ndarray, indices: np.ndarray) -> np.n
     return (1.0 / np.sqrt(src_deg * dst_deg)).astype(np.float32)
 
 
+def coalesce_duplicate_edges(csr: HostCSR) -> HostCSR:
+    """Merge duplicate (row, col) entries, SUMMING their values.
+
+    The reference datasets list some neighbors twice (cora: 302 entries,
+    citeseer: 236) and the reference parser keeps them (src/parser.cpp:35-44),
+    so its CSR-walking aggregation counts each copy — degrees included. A
+    duplicated entry with value v is therefore exactly ONE edge of weight k·v
+    in the reference's Â. Matrix-shaped backends (dense Â, BCSR tiles) can
+    store a position only once, so without coalescing they would silently
+    DROP the extra copies while the segment backend counts them — coalescing
+    after the degree-inclusive value computation makes every backend apply
+    the identical reference operator. Within-row entries come out col-sorted
+    (the self-loop is no longer guaranteed first; nothing downstream needs
+    that). No-op (same object) when the CSR is already duplicate-free."""
+    rows = csr.row_ids().astype(np.int64)
+    key = rows * csr.n_cols + csr.indices
+    uniq, inv = np.unique(key, return_inverse=True)
+    if len(uniq) == len(key):
+        return csr
+    values = np.zeros(len(uniq), np.float32)
+    np.add.at(values, inv, csr.values)
+    new_rows = (uniq // csr.n_cols).astype(np.int64)
+    indptr = np.zeros(csr.n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(new_rows, minlength=csr.n_rows), out=indptr[1:])
+    return HostCSR(
+        indptr=indptr,
+        indices=(uniq % csr.n_cols).astype(np.int32),
+        values=values,
+        n_rows=csr.n_rows,
+        n_cols=csr.n_cols,
+    )
+
+
 def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
     """Build the graph CSR with the implicit self-loop as first neighbor of
-    every row, exactly like the reference parser (src/parser.cpp:29-31)."""
+    every row, exactly like the reference parser (src/parser.cpp:29-31);
+    duplicate neighbor entries are then coalesced into single weighted edges
+    (see coalesce_duplicate_edges — degrees, and hence the Â values, still
+    count every copy like the reference's)."""
     n = len(neighbor_lists)
     counts = np.fromiter((1 + len(nb) for nb in neighbor_lists), dtype=np.int64, count=n)
     indptr = np.zeros(n + 1, dtype=np.int64)
@@ -122,7 +158,9 @@ def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
         if len(nb):
             indices[start + 1 : indptr[i + 1]] = nb
     values = normalized_adjacency_values(indptr, indices)
-    return HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
+    return coalesce_duplicate_edges(
+        HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
+    )
 
 
 def local_clustering_coefficient(csr: HostCSR) -> np.ndarray:
@@ -211,9 +249,11 @@ def split_dense_tiles(
 def recover_sym_scale(
     rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n_rows: int, n_pad: int
 ) -> np.ndarray:
-    """Recover d (= deg^{-1/2}) such that v_ij = d_i·d_j, for int8 pattern
-    packs. d comes from the self-loop values (v_ii = d_i², self-loop
-    guaranteed first-neighbor by the parser, src/parser.cpp:29-31) and the
+    """Recover d (= deg^{-1/2}) such that v_ij = k_ij·d_i·d_j with small
+    integer multiplicities k (coalesced duplicate edges sum to k copies; the
+    reference data carries some — see coalesce_duplicate_edges), for int8
+    pattern packs. d comes from the self-loop values (v_ii = d_i², self-loop
+    guaranteed present by the parser, src/parser.cpp:29-31) and the
     factorization is verified — it holds for any symmetrically-normalized
     adjacency, which is the only thing the reference's calculateGraphValues
     produces (src/parser.cpp:164-181). Raises ValueError otherwise."""
@@ -224,10 +264,14 @@ def recover_sym_scale(
         raise ValueError(
             "tile_dtype=int8 needs a self-loop on every node to recover d"
         )
-    if not np.allclose(vals, d[rows] * d[cols], rtol=1e-4, atol=1e-7):
+    unit = d[rows] * d[cols]
+    k = np.rint(vals / np.maximum(unit, 1e-30))
+    if not ((k >= 1).all() and np.allclose(vals, k * unit, rtol=1e-4,
+                                           atol=1e-7)):
         raise ValueError(
-            "tile_dtype=int8 requires values of the form 1/sqrt(deg·deg) "
-            "(symmetric normalization); got values that do not factor"
+            "tile_dtype=int8 requires values of the form k/sqrt(deg·deg) "
+            "(symmetric normalization, integer edge multiplicity); got "
+            "values that do not factor"
         )
     return d.astype(np.float32)
 

@@ -111,13 +111,20 @@ def load_dataset_native(directory: str, name: str, binarize: bool):
         input_dim = lib.pgcn_input_dim(handle)
         output_dim = lib.pgcn_output_dim(handle)
 
-        graph = HostCSR(
+        from parallel_gcn_tpu.data.graph import coalesce_duplicate_edges
+
+        # the C loader mirrors the reference parser and keeps duplicate
+        # neighbor entries (degree-inclusive values already computed); merge
+        # them into single weighted edges like the python path
+        # (add_self_loops_csr) so matrix-shaped backends apply the same
+        # operator — see data.graph.coalesce_duplicate_edges
+        graph = coalesce_duplicate_edges(HostCSR(
             indptr=_copy(lib.pgcn_graph_indptr(handle), n + 1, np.int64),
             indices=_copy(lib.pgcn_graph_indices(handle), g_nnz, np.int32),
             values=_copy(lib.pgcn_graph_values(handle), g_nnz, np.float32),
             n_rows=int(n),
             n_cols=int(n),
-        )
+        ))
         features = HostCSR(
             indptr=_copy(lib.pgcn_feat_indptr(handle), n + 1, np.int64),
             indices=_copy(lib.pgcn_feat_indices(handle), f_nnz, np.int32),

@@ -20,8 +20,13 @@ Two aggregation backends mirror ops/graphsum.py's design split:
   matmul. The right shape for citation-scale graphs, exactly like the dense-Â
   graphsum backend.
 - ``segment``: per-edge logits on the padded COO triplets with a
-  segment-max/exp/segment-sum softmax — O(E·heads) memory, the reddit-scale
-  path, mirroring the segment graphsum backend.
+  segment-max/exp/segment-sum softmax — O(E·heads) memory, mirroring the
+  segment graphsum backend.
+- ``tile``: fused flash-style block-sparse attention over the graph's BCSR
+  tile pack (+ COO residual for hybrid builds) — ops/tile_attention.py. The
+  reddit-scale path: one streaming Pallas sweep per direction instead of ~10
+  gather/scatter passes over E, O(N·heads) softmax state instead of
+  O(E·heads) logits.
 
 The attention coefficients are data-dependent, so unlike the GCN there is no
 loop-invariant first aggregation (no input_preagg) and no deferred-eval lane
@@ -105,7 +110,9 @@ class GATModel:
     """Static model description; ``apply`` is the pure forward function.
 
     Mirrors GCNModel's trainer contract (n_layers/dropouts/apply signature);
-    ``backend`` ∈ {dense, segment} picks the attention aggregation path.
+    ``backend`` ∈ {dense, segment, tile} picks the attention aggregation
+    path (``tile`` needs a bcsr/hybrid-built graph and attn_dropout == 0 —
+    build_model enforces both at config time).
     ``attn_dropout`` drops normalized attention coefficients during training
     (paper §3.3 applies 0.6 on the citation datasets)."""
 
@@ -142,6 +149,14 @@ class GATModel:
             a = dropout(a, self.attn_dropout, akey, training=True)
         prec = jax.lax.Precision.HIGHEST if self.precision == "highest" else None
         return jnp.einsum("hij,jhd->ihd", a, hw3, precision=prec)
+
+    def _attend_tile(self, graph, hw3, s, t, akey, training):
+        from parallel_gcn_tpu.ops.tile_attention import gat_attend_tiles
+
+        del akey  # attn_dropout == 0 with this backend (build_model enforces)
+        return gat_attend_tiles(
+            graph, s, t, hw3, slope=LEAKY_SLOPE
+        ).astype(hw3.dtype)
 
     def _attend_segment(self, graph, hw3, s, t, akey, training):
         n = hw3.shape[0]
@@ -256,6 +271,14 @@ class GATModel:
                 "GAT dense backend needs the dense adjacency (small graphs); "
                 "use backend=segment otherwise"
             )
+        elif self.backend == "tile":
+            assert graph.bcsr is not None, (
+                "GAT tile backend needs a bcsr/hybrid-built graph"
+            )
+            assert self.attn_dropout == 0.0, (
+                "attn_dropout is not implemented for the tile backend — "
+                "use backend=segment (build_model routes this at config time)"
+            )
         else:
             assert graph.coo_complete, (
                 "GAT segment backend needs complete COO triplets (tile-only "
@@ -272,10 +295,11 @@ class GATModel:
         else:
             keys = [None] * (2 * self.n_layers)
 
-        attend = (
-            self._attend_dense if self.backend == "dense"
-            else self._attend_segment
-        )
+        attend = {
+            "dense": self._attend_dense,
+            "tile": self._attend_tile,
+            "segment": self._attend_segment,
+        }[self.backend]
 
         def layer_fn(h, w, k_feat, k_attn, last):
             n_out = w["a_src"].shape[1]

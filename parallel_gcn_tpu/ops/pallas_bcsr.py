@@ -103,10 +103,11 @@ def build_bcsr(
     ``tile`` (rows) and ``tile_c`` (columns, default square, must be a
     multiple of ``tile``) are multiples of 128 (MXU/lane granularity).
 
-    ``dtype=int8`` stores the EXACT 0/1 edge pattern (quarter the f32 stream)
-    and requires ``sym_scale`` = the d vector ([n_nodes] f32) factoring the
-    values as v_ij = d_i·d_j — valid for any symmetrically-normalized
-    adjacency (Â = D^{-1/2}(A+I)D^{-1/2}). The matmul then computes
+    ``dtype=int8`` stores the EXACT edge-multiplicity pattern (0/1, or k for
+    coalesced duplicate edges; quarter the f32 stream) and requires
+    ``sym_scale`` = the d vector ([n_nodes] f32) factoring the values as
+    v_ij = k_ij·d_i·d_j — valid for any symmetrically-normalized adjacency
+    (Â = D^{-1/2}(A+I)D^{-1/2}). The matmul then computes
     d ⊙ (pattern · (d ⊙ x)), which is algebraically identical."""
     tile_r = tile
     tile_c = tile_c or tile_r
@@ -133,9 +134,16 @@ def build_bcsr(
     # (int8 packs: 4× the bytes of the result)
     out_dtype = np.int8 if binary else jnp.dtype(dtype)
     tiles = np.zeros((T + len(missing), tile_r, tile_c), dtype=out_dtype)
-    tiles[inverse, rows % tile_r, cols % tile_c] = (
-        np.ones(len(vals), np.int8) if binary else vals.astype(out_dtype)
-    )
+    if binary:
+        # edge multiplicity k (coalesced duplicates; 1 otherwise) — exact:
+        # the value factors as k·d_i·d_j (verified by recover_sym_scale)
+        d = np.asarray(sym_scale, np.float64)
+        counts = np.rint(
+            vals / np.maximum(d[rows] * d[cols], 1e-30)
+        ).astype(np.int8)
+        tiles[inverse, rows % tile_r, cols % tile_c] = counts
+    else:
+        tiles[inverse, rows % tile_r, cols % tile_c] = vals.astype(out_dtype)
     tile_rows = np.concatenate([uniq // n_tile_cols, missing]).astype(np.int32)
     # zero tiles for uncovered rows sit on the DIAGONAL when square (their
     # position is then its own mirror, keeping the position set symmetric for

@@ -1,0 +1,466 @@
+"""Block-sparse tile attention — fused flash-style GAT aggregation on the MXU.
+
+The GAT's edge softmax over COO triplets costs ~10 gather/scatter sweeps over
+E at the measured 15-20 ns/index (models/gat.py segment backend) — 16.6 s per
+epoch at reddit scale. This module rides the SAME BCSR tile geometry as the
+GCN's SpMM (ops/pallas_bcsr.py) instead: the per-edge logits of a tile are a
+rank-1 outer sum (e_ij = LeakyReLU(s_i + t_j) — the SDDMM score with the
+factors [s_i, 1]·[1, t_j]ᵀ, see ops/pallas_sddmm.py), so each pattern tile's
+masked scores, its online-softmax statistics, and the weighted aggregation
+(exactly the SpMM with the attention weights as tile data) are computed in ONE
+streaming kernel pass, flash-attention style:
+
+  forward : per tile-row span (tiles sorted by row, the SpMM revisiting
+            pattern) carry running max m, denominator den and the RESCALED
+            accumulator acc; one sweep over the tiles produces the
+            unnormalized numerator + (m, den).
+  residual: hybrid packs keep scattered edges as COO (data/graph.py
+            split_dense_tiles); their segment-softmax statistics merge with
+            the tile statistics EXACTLY via the flash rescale
+            (den = den_t·e^{m_t−m} + den_r·e^{m_r−m}, same for numerators).
+  backward: one more sweep re-deriving per-tile α from the saved O(N·H)
+            statistics. The softmax jacobian collapses to
+            de_ij = α_ij(⟨g_i, v_j⟩ − ⟨g_i, out_i⟩) — ⟨g_i,v_j⟩ is the SDDMM
+            of g and v on the pattern, dv = αᵀ·g is the SpMM of the mirrored
+            tiles, both evaluated in-kernel. Column-direction sums (dt, dv)
+            reuse the row-sorted traversal through the EDGE-SET SYMMETRY of
+            the pack (the repo's graph invariant, enforced by
+            split_dense_tiles): every edge's mirror is visited exactly once.
+
+No [T, tile_r, tile_c] score tensor is ever materialized — residuals are the
+O(N·H) statistics, so reddit-scale attention fits HBM without remat tricks.
+
+Reference: the GAT family itself is beyond-reference surface (the CUDA
+reference is GCN-only, src/gcn.cu); the kernel design follows the house SpMM
+(src/module.cu:172-186's hand-written no-cuSPARSE analog).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from parallel_gcn_tpu.ops.pallas_bcsr import _INTERPRET
+
+_NEG = -1e9  # masked-logit fill (finite: empty rows stay finite, exp -> 0)
+_LANE = 128
+
+
+def _gather_stats(*stats, idx):
+    """Per-edge gathers of the per-node softmax statistics, fenced with an
+    optimization_barrier. NOT optional: XLA:TPU miscompiles the fused
+    gather + select + segment_sum residual program at scale — measured on
+    synth-medium (21k nodes, hybrid int8 pack), the backward's α factor for
+    one edge came out as MINUS the global max denominator (-1008.13,
+    exactly −max(den)), exploding ds to 4013.98 vs 2.40; every piece is
+    bit-clean in isolation and on CPU, and fencing the gathered operands
+    restores exact agreement. The barrier only splits a fusion — it adds no
+    copies of the big per-edge tensors."""
+    return jax.lax.optimization_barrier(tuple(s[idx] for s in stats))
+
+
+def _pad_lane(n: int) -> int:
+    return ((n + _LANE - 1) // _LANE) * _LANE
+
+
+def _is_first_of_row(rows_ref):
+    t = pl.program_id(0)
+    return jnp.where(t == 0, True, rows_ref[t] != rows_ref[jnp.maximum(t - 1, 0)])
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _leaky_grad(x, slope):
+    return jnp.where(x >= 0, 1.0, slope)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: one sweep -> (unnormalized acc, running max m, denom den)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref, st_ref, tt_ref,
+                v_ref, acc_ref, stat_ref):
+    """Grid (T,). Per step: the pattern tile [R, C], the DEST-row block of the
+    packed [s‖t] array (st_ref, [R, 128]), the SOURCE-col block (tt_ref,
+    [C, 128]) and the source block of v ([C, HDpad]). Outputs revisit per
+    tile-row span: acc [R, HDpad] (numerator), stat [R, 128] (m at [0:H],
+    den at [H:2H]) — both f32, finalized (merge + divide) by the caller."""
+    live = tiles_ref[0] != 0  # [R, C] edge pattern (any tile dtype)
+
+    @pl.when(_is_first_of_row(rows_ref))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        # m lanes [0:H] start at _NEG, den lanes [H:2H] at 0 (no in-kernel
+        # scatter: build the init with an iota mask)
+        lane = jax.lax.broadcasted_iota(jnp.int32, stat_ref.shape, 1)
+        stat_ref[:] = jnp.where(lane < H, _NEG, 0.0)
+
+    v = v_ref[:].astype(jnp.float32)
+    for h in range(H):
+        s_h = st_ref[:, h : h + 1].astype(jnp.float32)        # [R, 1] dest
+        t_h = tt_ref[:, H + h : H + h + 1].astype(jnp.float32)  # [C, 1] src
+        e = _leaky(s_h + t_h.T, slope)                         # [R, C]
+        e = jnp.where(live, e, _NEG)
+        tile_m = jnp.max(e, axis=1, keepdims=True)             # [R, 1]
+        m_old = stat_ref[:, h : h + 1]
+        m_new = jnp.maximum(m_old, tile_m)
+        # masked positions: e == _NEG << m_new -> exp underflows to exactly 0
+        # UNLESS the whole row is still empty (m_new == _NEG) — re-mask.
+        w = jnp.where(live, jnp.exp(e - m_new), 0.0)           # [R, C]
+        scale = jnp.exp(m_old - m_new)                         # [R, 1]
+        den_old = stat_ref[:, H + h : H + h + 1]
+        stat_ref[:, H + h : H + h + 1] = (
+            den_old * scale + jnp.sum(w, axis=1, keepdims=True)
+        )
+        stat_ref[:, h : h + 1] = m_new
+        acc = acc_ref[:, h * D : (h + 1) * D]
+        acc_ref[:, h * D : (h + 1) * D] = acc * scale + jnp.dot(
+            w, v[:, h * D : (h + 1) * D], preferred_element_type=jnp.float32
+        )
+
+
+def _fwd_tiles(tiles, trow, tcol, st_pad, v_pad, H, D, slope, n_rows):
+    T, tile_r, tile_c = tiles.shape
+    hd_pad = v_pad.shape[1]
+    kernel = partial(_fwd_kernel, H, D, slope)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # trow, tcol
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, tile_r, tile_c),
+                             lambda t, rows, cols: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, _LANE),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        ],
+        interpret=_INTERPRET[0],
+    )(trow, tcol, tiles, st_pad, st_pad, v_pad)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: one sweep -> (dv, ds, dt) from the saved O(N·H) statistics
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
+                st_r_ref, st_c_ref, md_r_ref, md_c_ref,
+                v_r_ref, v_c_ref, g_r_ref, g_c_ref,
+                dv_ref, dst_ref):
+    """Per tile (rb, cb): re-derive the forward α block A (dest rows rb) and
+    the MIRRORED-orientation block A' (dest rows in cb, source rows in rb —
+    valid because the packed edge set is symmetric), then
+
+        ds[rb] += Σ_c  A ⊙ (g_rb·v_cbᵀ − ρ_rb) ⊙ leaky'        (row sums)
+        dt[rb] += Σ_c  A' ⊙ (v_rb·g_cbᵀ − ρ_cb) ⊙ leaky'       (mirror rows)
+        dv[rb] += A' · g_cb                                     (mirror SpMM)
+
+    md_* packs [m ‖ den ‖ ρ] at lanes [0:H], [H:2H], [2H:3H]."""
+    live = tiles_ref[0] != 0  # [R, C]
+
+    @pl.when(_is_first_of_row(rows_ref))
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+        dst_ref[:] = jnp.zeros_like(dst_ref)
+
+    v_r = v_r_ref[:].astype(jnp.float32)
+    v_c = v_c_ref[:].astype(jnp.float32)
+    g_r = g_r_ref[:].astype(jnp.float32)
+    g_c = g_c_ref[:].astype(jnp.float32)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        s_r = st_r_ref[:, h : h + 1]          # [R, 1]
+        t_r = st_r_ref[:, H + h : H + h + 1]  # [R, 1]
+        s_c = st_c_ref[:, h : h + 1]          # [C, 1]
+        t_c = st_c_ref[:, H + h : H + h + 1]  # [C, 1]
+        m_r = md_r_ref[:, h : h + 1]
+        den_r = jnp.maximum(md_r_ref[:, H + h : H + h + 1], 1e-16)
+        rho_r = md_r_ref[:, 2 * H + h : 2 * H + h + 1]
+        m_c = md_c_ref[:, h : h + 1]
+        den_c = jnp.maximum(md_c_ref[:, H + h : H + h + 1], 1e-16)
+        rho_c = md_c_ref[:, 2 * H + h : 2 * H + h + 1]
+
+        # forward orientation: dest i in rb, source j in cb. Mask the logits
+        # to _NEG BEFORE the exp (like the forward): at dead rows m == _NEG
+        # and an unmasked exp(pre - m) overflows to inf/NaN, which survives
+        # a multiply-lowered select — the masked exp argument is always <= 0.
+        pre = s_r + t_c.T                                     # [R, C]
+        e_f = jnp.where(live, _leaky(pre, slope), _NEG)
+        a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
+        dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
+                        preferred_element_type=jnp.float32)   # [R, C]
+        d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
+        dst_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=1, keepdims=True)
+
+        # mirrored orientation: dest i' = cb-row b, source j' = rb-row a;
+        # entry [a, b] = α_{i', j'} — the pattern mask is the SAME tile
+        # (edge (a, b) present ⇔ mirror edge present, symmetric split)
+        pre_m = t_r + s_c.T                                   # [R, C]
+        e_m = jnp.where(live, _leaky(pre_m, slope), _NEG)
+        a_m = jnp.where(live, jnp.exp(e_m - m_c.T) / den_c.T, 0.0)
+        dot_b = jnp.dot(v_r[:, sl], g_c[:, sl].T,
+                        preferred_element_type=jnp.float32)   # [R, C]
+        d_mir = a_m * (dot_b - rho_c.T) * _leaky_grad(pre_m, slope)
+        dst_ref[:, H + h : H + h + 1] += jnp.sum(d_mir, axis=1, keepdims=True)
+
+        dv_ref[:, sl] += jnp.dot(a_m, g_c[:, sl],
+                                 preferred_element_type=jnp.float32)
+
+
+def _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, v_pad, g_pad, H, D, slope,
+               n_rows):
+    T, tile_r, tile_c = tiles.shape
+    hd_pad = v_pad.shape[1]
+    kernel = partial(_bwd_kernel, H, D, slope)
+
+    def rb(shape_r):
+        return pl.BlockSpec((shape_r, _LANE),
+                            lambda t, rows, cols: (rows[t], 0),
+                            memory_space=pltpu.VMEM)
+
+    def cb(shape_c):
+        return pl.BlockSpec((shape_c, _LANE),
+                            lambda t, rows, cols: (cols[t], 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, tile_r, tile_c),
+                             lambda t, rows, cols: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                rb(tile_r), cb(tile_c),          # st at rb / cb
+                rb(tile_r), cb(tile_c),          # m‖den‖ρ at rb / cb
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
+        ],
+        interpret=_INTERPRET[0],
+    )(trow, tcol, tiles, st_pad, st_pad, md_pad, md_pad, v_pad, v_pad,
+      g_pad, g_pad)
+
+
+# ---------------------------------------------------------------------------
+# the differentiable op: tiles (+ optional COO residual) -> softmax-attended
+# aggregation, custom VJP in (s, t, v)
+# ---------------------------------------------------------------------------
+
+
+def _residual_stats(s, t, rrow, rcol, live, slope, n):
+    e = _leaky(s[rrow] + t[rcol], slope)          # [E, H] f32
+    e = jnp.where(live, e, _NEG)
+    m = jax.ops.segment_max(e, rrow, num_segments=n, indices_are_sorted=True)
+    m = jnp.maximum(m, _NEG)  # empty segments: -inf would poison exp
+    (m_e,) = _gather_stats(m, idx=rrow)  # fenced: see _gather_stats
+    w = jnp.where(live, jnp.exp(e - m_e), 0.0)
+    den = jax.ops.segment_sum(w, rrow, num_segments=n, indices_are_sorted=True)
+    return m, den
+
+
+def _pack_st(s, t):
+    n, H = s.shape
+    out = jnp.zeros((n, _LANE), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        out, jnp.concatenate([s, t], axis=1).astype(jnp.float32), (0, 0)
+    )
+
+
+def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+    """Forward evaluation; returns (out [n, H, D] f32, m, den [n, H])."""
+    H, D, slope, has_res = spec
+    n = v.shape[0]
+    hd_pad = _pad_lane(H * D)
+    v_pad = jnp.zeros((n, hd_pad), jnp.float32)
+    v_pad = jax.lax.dynamic_update_slice(
+        v_pad, v.reshape(n, H * D).astype(jnp.float32), (0, 0)
+    )
+    st_pad = _pack_st(s, t)
+    acc_t, stat = _fwd_tiles(tiles, trow, tcol, st_pad, v_pad, H, D, slope, n)
+    m_t, den_t = stat[:, 0:H], stat[:, H : 2 * H]
+    acc_t = acc_t[:, : H * D].reshape(n, H, D)
+
+    if has_res:
+        sf = s.astype(jnp.float32)
+        tf = t.astype(jnp.float32)
+        m_r, den_r = _residual_stats(sf, tf, rrow, rcol, rlive, slope, n)
+        m = jnp.maximum(m_t, m_r)
+        # mask the logits to _NEG before the exp (see _gat_attend_bwd):
+        # padding edges point at padding rows whose m is _NEG
+        (m_e,) = _gather_stats(m, idx=rrow)  # fenced: see _gather_stats
+        e_r = jnp.where(rlive, _leaky(sf[rrow] + tf[rcol], slope), _NEG)
+        w_r = jnp.where(rlive, jnp.exp(e_r - m_e), 0.0)
+        num_r = jax.ops.segment_sum(
+            w_r[:, :, None] * v.astype(jnp.float32)[rcol], rrow,
+            num_segments=n, indices_are_sorted=True,
+        )
+        scale_t = jnp.exp(m_t - m)
+        den = den_t * scale_t + jax.ops.segment_sum(
+            w_r, rrow, num_segments=n, indices_are_sorted=True
+        )
+        acc = acc_t * scale_t[:, :, None] + num_r
+    else:
+        m, den, acc = m_t, den_t, acc_t
+    out = acc / jnp.maximum(den, 1e-16)[:, :, None]
+    return out, m, den
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def _gat_attend(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+    out, _, _ = _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive,
+                             spec)
+    return out
+
+
+def _gat_attend_fwd(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+    out, m, den = _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive,
+                               spec)
+    return out, (s, t, v, tiles, trow, tcol, rrow, rcol, rlive, m, den, out)
+
+
+def _gat_attend_bwd(spec, res, g):
+    H, D, slope, has_res = spec
+    s, t, v, tiles, trow, tcol, rrow, rcol, rlive, m, den, out = res
+    n = v.shape[0]
+    g = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    sf = s.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    rho = jnp.sum(g * out, axis=-1)  # [n, H]
+
+    hd_pad = _pad_lane(H * D)
+
+    def pad_hd(x3):
+        buf = jnp.zeros((n, hd_pad), jnp.float32)
+        return jax.lax.dynamic_update_slice(buf, x3.reshape(n, H * D), (0, 0))
+
+    st_pad = _pack_st(s, t)
+    md_pad = jnp.zeros((n, _LANE), jnp.float32)
+    md_pad = jax.lax.dynamic_update_slice(
+        md_pad, jnp.concatenate([m, den, rho], axis=1), (0, 0)
+    )
+    dv_t, dst = _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, pad_hd(v32),
+                           pad_hd(g), H, D, slope, n)
+    dv = dv_t[:, : H * D].reshape(n, H, D)
+    ds = dst[:, 0:H]
+    dt = dst[:, H : 2 * H]
+
+    if has_res:
+        den_g = jnp.maximum(den, 1e-16)
+        # forward orientation (dest = rrow): ds. Logits masked to _NEG before
+        # the exp — padding edges point at padding rows whose m is _NEG, and
+        # an unmasked exp(pre - m) overflows (same hazard as in the kernel).
+        # The gathered stats are FENCED — see _gather_stats.
+        m_r, den_r, rho_r = _gather_stats(m, den_g, rho, idx=rrow)
+        pre = sf[rrow] + tf[rcol]
+        e_f = jnp.where(rlive, _leaky(pre, slope), _NEG)
+        a = jnp.where(rlive, jnp.exp(e_f - m_r) / den_r, 0.0)
+        dot_a = jnp.sum(g[rrow] * v32[rcol], axis=-1)
+        d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
+        ds = ds + jax.ops.segment_sum(d_fwd, rrow, num_segments=n,
+                                      indices_are_sorted=True)
+        # mirrored orientation (the residual edge set is symmetric, like the
+        # tiles): per edge (r, c) process its mirror's contribution so every
+        # scatter stays sorted by rrow
+        m_c, den_c, rho_c = _gather_stats(m, den_g, rho, idx=rcol)
+        pre_m = sf[rcol] + tf[rrow]
+        e_m = jnp.where(rlive, _leaky(pre_m, slope), _NEG)
+        a_m = jnp.where(rlive, jnp.exp(e_m - m_c) / den_c, 0.0)
+        dot_b = jnp.sum(g[rcol] * v32[rrow], axis=-1)
+        d_mir = a_m * (dot_b - rho_c) * _leaky_grad(pre_m, slope)
+        dt = dt + jax.ops.segment_sum(d_mir, rrow, num_segments=n,
+                                      indices_are_sorted=True)
+        dv = dv + jax.ops.segment_sum(a_m[:, :, None] * g[rcol], rrow,
+                                      num_segments=n, indices_are_sorted=True)
+
+    return (ds.astype(s.dtype), dt.astype(t.dtype), dv.astype(v.dtype),
+            None, None, None, None, None, None)
+
+
+_gat_attend.defvjp(_gat_attend_fwd, _gat_attend_bwd)
+
+
+def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
+    """Softmax attention aggregation over a tile-packed graph:
+    ``out_i = Σ_j softmax_j(LeakyReLU(s_i + t_j)) · v_j`` for j in N(i)∪{i},
+    the edge set being the BCSR pattern plus (hybrid builds) the COO residual.
+
+    s, t: [n_nodes, heads] logit halves; v: [n_nodes, heads, d].
+    Returns [n_nodes, heads, d] float32. Differentiable in s, t, v.
+
+    Requirements (asserted): a tile pack on the graph; a SYMMETRIC edge set
+    (the repo invariant — split_dense_tiles enforces it for hybrid splits,
+    full packs of Â are symmetric), which the backward's sorted-traversal
+    mirror trick relies on; heads ≤ 42 (3·H statistics lanes ≤ 128)."""
+    pack = graph.bcsr
+    assert pack is not None, "gat_attend_tiles needs a tile pack (bcsr/hybrid)"
+    n, H = s.shape
+    assert v.shape[:2] == (n, H) and t.shape == (n, H)
+    assert 3 * H <= _LANE, f"heads={H} exceeds the packed-statistics lanes"
+    assert n == pack.n_nodes, (n, pack.n_nodes)
+    has_res = bool(graph.is_hybrid)
+    if has_res:
+        rrow, rcol = graph.row, graph.col
+        rlive = (graph.val != 0.0)[:, None]
+    else:
+        # pure pack: the whole edge set lives in the tiles; feed an empty
+        # residual (static flag keeps the segment ops out of the program)
+        rrow = rcol = jnp.zeros((1,), jnp.int32)
+        rlive = jnp.zeros((1, 1), bool)
+    D = v.shape[2]
+    return _gat_attend(
+        s, t, v, pack.tiles, pack.tile_rows, pack.tile_cols,
+        rrow, rcol, rlive, (H, D, float(slope), has_res),
+    )

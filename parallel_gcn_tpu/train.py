@@ -91,21 +91,41 @@ def build_model(cfg: Config, dds: DeviceDataset):
     if cfg.gcn.model == "gat":
         from parallel_gcn_tpu.models.gat import GATModel
 
-        if backend in ("hybrid", "bcsr") or not dds.graph.coo_complete:
+        if backend in ("hybrid", "bcsr"):
+            # fused block-sparse tile attention (ops/tile_attention.py) over
+            # the graph's BCSR pack — the reddit-scale GAT path
+            if dds.graph.bcsr is None:
+                raise ValueError(
+                    "model=gat backend=hybrid/bcsr needs a tile-built graph"
+                )
+            if cfg.gcn.attn_dropout > 0:
+                raise ValueError(
+                    "attn_dropout is not implemented for the tile attention "
+                    "backend — set attn_dropout=0 or backend=segment/dense"
+                )
+            if cfg.tpu.edge_chunk:
+                raise ValueError(
+                    "edge_chunk streams the SEGMENT attention; the tile "
+                    "backend already bounds memory at O(N·heads) — unset "
+                    "edge_chunk or set backend=segment"
+                )
+            gat_backend = "tile"
+        elif not dds.graph.coo_complete:
             # config-time error instead of a trace-time assert (which
             # python -O would strip, silently attending over only the COO
             # residual subset of a hybrid pack)
             raise ValueError(
-                "model=gat needs the dense adjacency or complete COO "
-                "triplets — backend=hybrid/bcsr tile packs carry no "
-                "per-edge list; set backend=segment (or dense)"
+                "model=gat backend=segment needs complete COO triplets — "
+                "this graph carries only a tile pack; set backend=hybrid"
             )
+        else:
+            gat_backend = "dense" if backend == "dense" else "segment"
         return GATModel(
             n_layers=cfg.gcn.n_layers,
             dropouts=tuple(cfg.gcn.dropouts),
             heads=cfg.gcn.heads,
             attn_dropout=cfg.gcn.attn_dropout,
-            backend="dense" if backend == "dense" else "segment",
+            backend=gat_backend,
             compute_dtype=cfg.tpu.compute_dtype,
             precision=cfg.tpu.matmul_precision,
             residual=cfg.gcn.residual,

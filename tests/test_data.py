@@ -77,10 +77,12 @@ def test_real_dataset_stats(name, nodes, edges, classes, features):
     assert ds.n_nodes == nodes
     assert ds.output_dim == classes
     assert ds.input_dim == features
-    # nnz = 2*edges + n self-loops (some datasets store a handful of
-    # duplicate/directed edges, so allow exact match or small slack)
+    # nnz = 2*edges + n self-loops; the raw files carry some duplicate and
+    # directed entries (cora: 302 duplicates) which the loader COALESCES into
+    # single weighted edges (data.graph.coalesce_duplicate_edges), so nnz
+    # lands a little under the raw count — allow 3% either way
     expected = 2 * edges + nodes
-    assert abs(ds.graph.nnz - expected) <= 0.01 * expected
+    assert abs(ds.graph.nnz - expected) <= 0.03 * expected
     assert ds.train_dim > 0 and ds.val_dim > 0 and ds.test_dim > 0
     assert ds.features.shape == (nodes, features)
 
@@ -227,3 +229,48 @@ def test_local_clustering_coefficient_matches_reference_semantics():
         assert local_clustering_coefficient(csr, node) == pytest.approx(
             reference_loops(node)
         )
+
+
+def test_duplicate_edges_coalesce_and_backends_agree():
+    """The reference data lists some neighbors twice and its CSR-walking
+    aggregation counts each copy (src/parser.cpp:35-44); matrix-shaped
+    backends can store a position only once. coalesce_duplicate_edges merges
+    copies into single weighted edges AFTER the degree-inclusive value
+    computation, so dense/tiles/segment all apply the identical reference
+    operator on duplicated inputs."""
+    import jax.numpy as jnp
+
+    from parallel_gcn_tpu.data.graph import (
+        add_self_loops_csr,
+        build_graph,
+        coalesce_duplicate_edges,
+    )
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    # node 0 lists node 1 twice (like cora's raw lines); symmetric mirror
+    lists = [
+        np.array([1, 1, 2], dtype=np.int32),
+        np.array([0, 0], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+        np.array([], dtype=np.int32),
+    ]
+    csr = add_self_loops_csr(lists)
+    # degrees count every copy (reference indptr semantics): deg0 = 4
+    key = csr.row_ids().astype(np.int64) * csr.n_cols + csr.indices
+    assert len(np.unique(key)) == len(key)  # coalesced: no duplicates left
+    # the merged (0,1) edge carries k=2 times the unit value
+    v01 = csr.values[(csr.row_ids() == 0) & (csr.indices == 1)]
+    assert v01 == pytest.approx(2.0 / np.sqrt(4.0 * 3.0))
+    assert coalesce_duplicate_edges(csr) is csr  # idempotent fast path
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 5)).astype(np.float32)
+    g_seg = build_graph(csr, n_nodes_pad=8)
+    g_dense = build_graph(csr, dense=True, n_nodes_pad=8)
+    a = np.asarray(graphsum(jnp.asarray(x), g_seg, backend="segment"))
+    b = np.asarray(graphsum(jnp.asarray(x), g_dense, backend="dense"))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    # the double edge genuinely contributes twice: out[0] includes 2·v·x[1]
+    vals = {int(c): float(v) for c, v in zip(csr.indices[:3], csr.values[:3])}
+    expected0 = sum(vals[c] * x[c] for c in vals)
+    np.testing.assert_allclose(a[0], expected0, rtol=1e-5)
