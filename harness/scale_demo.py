@@ -87,16 +87,26 @@ def main() -> int:
                     "operands at once — narrower H keeps the functional "
                     "validation inside host RAM; the memory table above "
                     "always reports the config width.")
+    ap.add_argument("--backend", default="",
+                    help="segment | hybrid (default: the dataset config's — "
+                    "hybrid for synth-products). hybrid composes the MXU "
+                    "tile slabs with the adaptive push/pull halo "
+                    "(partition_graph_hybrid(adaptive=True)); on the CPU "
+                    "mesh the tile kernel runs in interpret mode.")
     args = ap.parse_args()
     n_dev = args.devices
 
     cfg = load_config(default_params_path(args.dataset))
     cfg.train.verbose = False
-    # the executed step uses the memory-scaling configuration: segment
-    # aggregation (the Pallas tile kernel needs interpret mode on a CPU mesh)
-    # + boundary halo. The memory table below is layout math — it holds for
-    # every backend because the halo buffer is what all of them index.
-    cfg.tpu.backend = "segment"
+    # the executed step uses the memory-scaling configuration: the dataset's
+    # tuned aggregation backend (tile slabs for products) against the
+    # ADAPTIVE push/pull halo. The memory table below is layout math — it
+    # holds for every backend because the halo buffer is what all of them
+    # index.
+    backend = args.backend or cfg.tpu.backend
+    if backend not in ("segment", "hybrid"):
+        backend = "segment"
+    cfg.tpu.backend = backend
     cfg.tpu.halo = "adaptive"
     cfg.tpu.n_devices = n_dev
     cfg.tpu.compute_dtype = "float32"  # CPU step; bf16 accounting shown below
@@ -111,12 +121,29 @@ def main() -> int:
           flush=True)
 
     t0 = time.time()
-    sgb = partition_graph(ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
-                          boundary=True)
-    sg = partition_graph(ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
-                         adaptive=True)
-    print(f"partitioned D={n_dev} boundary+adaptive in {time.time()-t0:.0f}s",
-          flush=True)
+    if backend == "hybrid":
+        from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+
+        tile_dtype = cfg.tpu.tile_dtype
+        if tile_dtype == "auto":
+            tile_dtype = ("float32" if cfg.tpu.matmul_precision == "highest"
+                          else "bfloat16")
+        kw = dict(
+            node_pad=cfg.tpu.node_pad, tile_r=cfg.tpu.tile_size,
+            tile_c=cfg.tpu.tile_cols, tile_dtype=np.dtype(tile_dtype),
+            tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
+            min_tile_nnz=cfg.tpu.min_tile_nnz or None,
+            balance=cfg.tpu.balance_slabs,
+        )
+        sgb = partition_graph_hybrid(ds.graph, n_dev, boundary=True, **kw)
+        sg = partition_graph_hybrid(ds.graph, n_dev, adaptive=True, **kw)
+    else:
+        sgb = partition_graph(ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
+                              boundary=True)
+        sg = partition_graph(ds.graph, n_dev, node_pad=cfg.tpu.node_pad,
+                             adaptive=True)
+    print(f"partitioned D={n_dev} boundary+adaptive ({backend}) "
+          f"in {time.time()-t0:.0f}s", flush=True)
 
     # ---- per-device memory accounting, from the real partition arrays ----
     # adaptive halo: pulled raw rows + pushed partial-sum rows both occupy
@@ -130,15 +157,23 @@ def main() -> int:
         f"hidden activations (H={cfg.gcn.hidden_dims[0]})": cfg.gcn.hidden_dims[0],
     }
     bytes_el = 2  # bf16 activations on TPU (the tuned products config)
-    slab = (sg.row_local.nbytes + sg.col.nbytes + sg.val.nbytes) // n_dev
-    if sg.push_slab:
-        slab += (sg.push_row.nbytes + sg.push_col.nbytes
-                 + sg.push_val.nbytes) // n_dev
+    if backend == "hybrid":
+        slab = (sg.tiles.nbytes + sg.res_row.nbytes + sg.res_col.nbytes
+                + sg.res_val.nbytes) // n_dev
+        if sg.push_slab:
+            slab += (sg.ptiles.nbytes + sg.prow.nbytes + sg.pcol.nbytes
+                     + sg.pval.nbytes) // n_dev
+    else:
+        slab = (sg.row_local.nbytes + sg.col.nbytes + sg.val.nbytes) // n_dev
+        if sg.push_slab:
+            slab += (sg.push_row.nbytes + sg.push_col.nbytes
+                     + sg.push_val.nbytes) // n_dev
     send = sg.send_idx.nbytes // n_dev
 
     lines = [
         f"# {args.dataset}: {ds.n_nodes:,} nodes / {ds.graph.nnz:,} edges, "
-        f"D={n_dev} node shards, adaptive (push/pull) halo",
+        f"D={n_dev} node shards, backend={backend}, "
+        "adaptive (push/pull) halo",
         f"rows/device: local={sg.n_local:,}  "
         f"pulled={n_dev * sg.halo_size:,} ({n_dev}x{sg.halo_size:,})  "
         f"pushed-partials={n_dev * sg.push_slab:,} ({n_dev}x{sg.push_slab:,})"
@@ -147,7 +182,8 @@ def main() -> int:
         f"(adaptive {bnd_rows/buf_rows:.1f}x smaller)  "
         f"vs all_gather={full_rows:,} "
         f"(buffer/full = {buf_rows/full_rows:.2f})",
-        f"edge slab/device: {slab/GB:.2f} GB (COO row+col+val)  "
+        f"edge slab/device: {slab/GB:.2f} GB "
+        f"({'int8 tiles + COO residual' if backend == 'hybrid' else 'COO row+col+val'})  "
         f"send-index: {send/GB:.3f} GB",
         "",
         "# per-device aggregation feature buffer (bf16), adaptive vs all_gather",
@@ -190,6 +226,10 @@ def main() -> int:
     if not args.skip_step:
         if args.step_hidden:
             cfg.gcn.hidden_dims = (args.step_hidden,) * (cfg.gcn.n_layers - 1)
+        if backend == "hybrid" and jax.default_backend() == "cpu":
+            from parallel_gcn_tpu.ops import pallas_bcsr
+
+            pallas_bcsr._INTERPRET[0] = True  # Mosaic is TPU-only
         mesh = make_mesh(n_dev)
         x, labels, split = shard_dataset(ds, sg)
         inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
@@ -202,8 +242,8 @@ def main() -> int:
         w, opt, key, m = step(w, init_adam(w), key, *inputs)
         m = np.asarray(m)
         ok = bool(np.isfinite(m).all())
-        line = (f"executed 1 full sharded training step (H="
-                f"{cfg.gcn.hidden_dims[0]}) on the "
+        line = (f"executed 1 full sharded training step (backend={backend}, "
+                f"H={cfg.gcn.hidden_dims[0]}) on the "
                 f"{n_dev}-device {jax.default_backend()} mesh in "
                 f"{time.time()-t0:.0f}s: train_loss={m[0]:.4f} "
                 f"train_acc={m[1]:.4f} val_loss={m[2]:.4f} val_acc={m[3]:.4f} "

@@ -435,6 +435,25 @@ class HybridShardedGraph:
     # the natural order was already balanced. Callers must permute node-keyed
     # arrays (features/labels/split) the same way — shard_dataset does.
     node_perm: np.ndarray | None = None
+    # Adaptive (push/pull) halo — partition_graph_hybrid(adaptive=True):
+    # off-diagonal device pairs where PUSHING partial sums ships fewer rows
+    # than pulling source rows/blocks move their tiles AND residual edges to
+    # the SOURCE device. Push tiles form a per-source-device rect pack over
+    # LOCAL columns with a COMPACT output row space (ptrow = ascending compact
+    # block ids, every block covered); pt_dst scatters the compact partial
+    # rows into the per-pair all_to_all slab (slots ≥ n_dev·push_slab drop).
+    # Push residual edges segment-sum straight into slab slots (prow). The
+    # receiver scatter-adds the exchanged rows at push_recv. None/0 when the
+    # partition has no push pairs.
+    ptiles: np.ndarray | None = None  # [n_dev, Tp, tile_r, tile_c]
+    ptrow: np.ndarray | None = None   # int32 [n_dev, Tp] compact block ids
+    ptcol: np.ndarray | None = None   # int32 [n_dev, Tp] LOCAL col blocks
+    pt_dst: np.ndarray | None = None  # int32 [n_dev, Bp·tile_r] slab slots
+    prow: np.ndarray | None = None    # int32 [n_dev, e_push] slab slots
+    pcol: np.ndarray | None = None    # int32 [n_dev, e_push] local src rows
+    pval: np.ndarray | None = None    # float32 [n_dev, e_push]
+    push_recv: np.ndarray | None = None  # int32 [n_dev, n_dev·push_slab]
+    push_slab: int = 0
 
     @property
     def n_nodes_pad(self) -> int:
@@ -550,6 +569,206 @@ def _hybrid_boundary(tiles, trow, tcol, res_col, res_val, n_dev, n_local,
     return send_idx, H
 
 
+def _hybrid_adaptive_split(g_trow, g_tcol, g_tiles, r_rows, r_cols, r_vals,
+                           n_dev, n_local, tile_r, tile_c):
+    """Per-pair push/pull classification for the hybrid (tile) partition.
+
+    For each off-diagonal (src device s, dst device d) pair: PULL ships the
+    unique source col-BLOCKS the pair's tiles touch (whole, tile_c rows each)
+    plus the residual source rows outside them (what _hybrid_boundary would
+    fetch); PUSH ships one partial-sum row per unique DEST row — tile_r rows
+    per touched dest tile-row block plus residual dest rows outside them.
+    Pairs where push is strictly cheaper move their tiles and residual edges
+    to the source device (hub-heavy layouts: the hub block's neighborhoods
+    pull everything, but push only the hub rows).
+
+    Returns (keep_tiles mask, keep_res mask, push_pack, push_res, push_recv,
+    push_slab) with push_pack = (ptiles, ptrow, ptcol, pt_dst) per-source-
+    device slabs (compact ascending output blocks, LOCAL col blocks) and
+    push_res = (prow, pcol, pval) slot-sorted per-source COO; all padded to
+    identical static shapes. Everything None/0 when no pair chooses push.
+    """
+    rows_per_dev = n_local // tile_r
+    Bl = n_local // tile_c
+    nz = g_tiles.reshape(g_tiles.shape[0], -1).any(axis=1)
+    t_dst = (g_trow // rows_per_dev).astype(np.int64)
+    t_src = (g_tcol // Bl).astype(np.int64)
+    live_r = r_vals != 0
+    r_dst = (r_rows // n_local).astype(np.int64)
+    r_src = (r_cols // n_local).astype(np.int64)
+
+    pull = np.zeros((n_dev, n_dev), np.int64)
+    push = np.zeros((n_dev, n_dev), np.int64)
+    pair_tiles = {}
+    pair_res = {}
+    for s in range(n_dev):
+        for d in range(n_dev):
+            if s == d:
+                continue
+            tm = np.flatnonzero(nz & (t_dst == d) & (t_src == s))
+            rm = np.flatnonzero(live_r & (r_dst == d) & (r_src == s))
+            pair_tiles[s, d] = tm
+            pair_res[s, d] = rm
+            blk = np.unique(g_tcol[tm].astype(np.int64))
+            rr = np.unique(r_cols[rm].astype(np.int64))
+            rr = rr[~np.isin(rr // tile_c, blk)]
+            pull[s, d] = tile_c * len(blk) + len(rr)
+            rb = np.unique(g_trow[tm].astype(np.int64))
+            rd = np.unique(r_rows[rm].astype(np.int64))
+            rd = rd[~np.isin(rd // tile_r, rb)]
+            push[s, d] = tile_r * len(rb) + len(rd)
+    mode_push = (push < pull) & (push > 0)
+    # the all_to_all slabs pad every pair to the max of its category (cf.
+    # _adaptive_pair_modes): only mix when that beats the pure-pull max
+    mixed = (
+        int(pull[~mode_push].max(initial=0))
+        + int(push[mode_push].max(initial=0))
+    )
+    if not mode_push.any() or mixed >= int(pull.max(initial=0)):
+        return None
+
+    # --- slot spaces: per pair, tile-row blocks first (tile_r rows each,
+    # shared by tiles AND residual edges landing inside them), then the
+    # stray residual dest rows ---
+    H = 1
+    pair_blocks = {}
+    pair_extra = {}
+    for (s, d), tm in pair_tiles.items():
+        if not mode_push[s, d]:
+            continue
+        rb = np.unique(g_trow[tm].astype(np.int64))
+        rd = np.unique(r_rows[pair_res[s, d]].astype(np.int64))
+        extra = rd[~np.isin(rd // tile_r, rb)]
+        pair_blocks[s, d] = rb
+        pair_extra[s, d] = extra
+        H = max(H, tile_r * len(rb) + len(extra))
+    H = pad_to_multiple(H, 8)
+
+    keep_t = np.ones(len(g_trow), bool)
+    keep_r = np.ones(len(r_rows), bool)
+    push_recv = np.full((n_dev, n_dev * H), n_local, np.int32)
+    dev_blocks = [[] for _ in range(n_dev)]  # (compact slot base, tile idxs)
+    dev_res = [[] for _ in range(n_dev)]     # (slot, local col, val)
+    dev_nblocks = np.zeros(n_dev, np.int64)
+    for s in range(n_dev):
+        for d in range(n_dev):
+            if (s, d) not in pair_blocks:
+                continue
+            tm, rm = pair_tiles[s, d], pair_res[s, d]
+            keep_t[tm] = False
+            keep_r[rm] = False
+            rb, extra = pair_blocks[s, d], pair_extra[s, d]
+            blk_pos = {int(b): i for i, b in enumerate(rb)}
+            # receiver map: slot -> local dest row on device d
+            for i, b in enumerate(rb):
+                rows_g = b * tile_r + np.arange(tile_r)
+                push_recv[d, s * H + i * tile_r : s * H + (i + 1) * tile_r] = (
+                    rows_g - d * n_local
+                ).astype(np.int32)
+            base_extra = tile_r * len(rb)
+            push_recv[d, s * H + base_extra : s * H + base_extra + len(extra)] = (
+                extra - d * n_local
+            ).astype(np.int32)
+            # tiles: compact block ids continue ascending across pairs
+            for tix in tm:
+                b = int(g_trow[tix])
+                dev_blocks[s].append((dev_nblocks[s] + blk_pos[b], int(tix)))
+            # residual: slot per dest row (inside blocks: shared slot)
+            rrow_pair = r_rows[rm].astype(np.int64)
+            rcol_pair = r_cols[rm].astype(np.int64)
+            rval_pair = r_vals[rm]
+            in_blk = np.isin(rrow_pair // tile_r, rb)
+            slot = np.empty(len(rrow_pair), np.int64)
+            bp = np.searchsorted(rb, rrow_pair[in_blk] // tile_r)
+            slot[in_blk] = bp * tile_r + rrow_pair[in_blk] % tile_r
+            slot[~in_blk] = base_extra + np.searchsorted(
+                extra, rrow_pair[~in_blk]
+            )
+            dev_res[s].append(
+                (d * H + slot, rcol_pair - s * n_local, rval_pair)
+            )
+            dev_nblocks[s] += len(rb)
+
+    # --- per-device static packing ---
+    tile_shape = g_tiles.shape[1:]
+    Bp = max(int(dev_nblocks.max()), 1)
+    Tp = 1
+    for s in range(n_dev):
+        Tp = max(Tp, len(dev_blocks[s]))
+    ptiles = np.zeros((n_dev, Tp) + tile_shape, dtype=g_tiles.dtype)
+    ptrow = np.full((n_dev, Tp), Bp - 1, np.int32)
+    ptcol = np.zeros((n_dev, Tp), np.int32)
+    pt_dst = np.full((n_dev, Bp * tile_r), n_dev * H, np.int32)  # pad: drop
+    e_push = 1
+    for s in range(n_dev):
+        e_push = max(e_push, sum(len(x[0]) for x in dev_res[s]))
+    e_push = pad_to_multiple(e_push, 128)
+    prow = np.full((n_dev, e_push), n_dev * H, np.int32)  # pad slot: dropped
+    pcol = np.zeros((n_dev, e_push), np.int32)
+    pval = np.zeros((n_dev, e_push), np.float32)
+
+    for s in range(n_dev):
+        # tiles, sorted by compact block id (ascending d, then block order)
+        entries = sorted(dev_blocks[s], key=lambda x: x[0])
+        for k, (cblk, tix) in enumerate(entries):
+            ptiles[s, k] = g_tiles[tix]
+            ptrow[s, k] = cblk
+            ptcol[s, k] = int(g_tcol[tix]) - s * Bl
+        # compact row -> slab slot map
+        base = 0
+        for d in range(n_dev):
+            if (s, d) not in pair_blocks:
+                continue
+            nb = len(pair_blocks[s, d])
+            rows = np.arange(nb * tile_r)
+            pt_dst[s, base * tile_r : (base + nb) * tile_r] = (
+                d * H + rows
+            ).astype(np.int32)
+            base += nb
+        # residual edges, sorted by slot (segment_sum fast path)
+        if dev_res[s]:
+            slots = np.concatenate([x[0] for x in dev_res[s]])
+            cols_l = np.concatenate([x[1] for x in dev_res[s]])
+            vals_l = np.concatenate([x[2] for x in dev_res[s]])
+            o = np.argsort(slots, kind="stable")
+            k = len(slots)
+            prow[s, :k] = slots[o].astype(np.int32)
+            pcol[s, :k] = cols_l[o].astype(np.int32)
+            pval[s, :k] = vals_l[o]
+
+    # coverage: ptrow must cover every compact block 0..Bp-1 on every device
+    # or the rect kernel leaves garbage rows (pt_dst drops padding blocks,
+    # but blocks BELOW dev_nblocks[s] are real) — real blocks are covered by
+    # construction (a block exists because a tile touches it); padding
+    # devices (fewer blocks) point their zero tiles at Bp-1, and blocks in
+    # [dev_nblocks[s], Bp) scatter to the drop slot via pt_dst's padding.
+    # Blocks in that range still need >=1 tile for a defined (ignored) value:
+    for s in range(n_dev):
+        covered = set(ptrow[s, : len(dev_blocks[s])].tolist())
+        missing = [b for b in range(Bp) if b not in covered]
+        free = len(dev_blocks[s])
+        need = len(missing)
+        if need > Tp - free:
+            pad_t = need - (Tp - free)
+            ptiles = np.concatenate(
+                [ptiles, np.zeros((n_dev, pad_t) + tile_shape,
+                                  dtype=g_tiles.dtype)], axis=1)
+            ptrow = np.concatenate(
+                [ptrow, np.full((n_dev, pad_t), Bp - 1, np.int32)], axis=1)
+            ptcol = np.concatenate(
+                [ptcol, np.zeros((n_dev, pad_t), np.int32)], axis=1)
+            Tp += pad_t
+        ptrow[s, free : free + need] = np.asarray(missing, np.int32)
+        # re-sort this device's slab by block id (kernel needs ascending)
+        o = np.argsort(ptrow[s], kind="stable")
+        ptiles[s] = ptiles[s][o]
+        ptrow[s] = ptrow[s][o]
+        ptcol[s] = ptcol[s][o]
+
+    return (keep_t, keep_r, (ptiles, ptrow, ptcol, pt_dst),
+            (prow, pcol, pval), push_recv, int(H))
+
+
 def partition_graph_hybrid(
     csr: HostCSR,
     n_dev: int,
@@ -560,6 +779,7 @@ def partition_graph_hybrid(
     tile_budget_bytes: int = 3 * 1024 * 1024 * 1024,
     min_tile_nnz: int | None = None,
     boundary: bool = False,
+    adaptive: bool = False,
     balance: bool = True,
     boundary_fallback: bool = False,
 ) -> HybridShardedGraph:
@@ -578,7 +798,11 @@ def partition_graph_hybrid(
     returned as ``node_perm`` and shard_dataset applies it to node-keyed
     arrays. ``boundary=True`` additionally precomputes the boundary exchange
     so the aggregation fetches only referenced remote blocks/rows instead of
-    all-gathering the full feature matrix.
+    all-gathering the full feature matrix. ``adaptive=True`` (implies
+    boundary) re-routes each device PAIR's tiles and residual edges in
+    whichever direction ships fewer rows — pull source blocks/rows, or push
+    one partial-sum row per destination row (_hybrid_adaptive_split) — the
+    tile-slab counterpart of partition_graph(adaptive=True).
     """
     from parallel_gcn_tpu.data.graph import split_dense_tiles
     from parallel_gcn_tpu.ops.pallas_bcsr import build_bcsr
@@ -617,9 +841,15 @@ def partition_graph_hybrid(
     r_cols = cols[~in_tiles].astype(np.int64)
     r_vals = vals[~in_tiles]
     if sym_scale is not None:
-        # int8 mode: residual values become the 0/1 indicator — the residual
-        # rides the same d-scaled features as the tile slabs (one gather)
-        r_vals = (r_vals != 0).astype(np.float32)
+        # int8 mode: residual values become the edge multiplicity k (1, or
+        # the coalesced duplicate count) — the residual rides the same
+        # d-scaled features as the tile slabs (one gather); k·d_i·d_j == v
+        d = np.asarray(sym_scale, np.float64)
+        r_vals = np.where(
+            r_vals != 0,
+            np.rint(r_vals / np.maximum(d[r_rows] * d[r_cols], 1e-30)),
+            0.0,
+        ).astype(np.float32)
 
     node_perm = None
     rpt = tile_c // tile_r  # tile-rows per node block
@@ -643,6 +873,42 @@ def partition_graph_hybrid(
             ).reshape(-1)
             if sym_scale is not None:
                 sym_scale = np.asarray(sym_scale)[node_perm]
+
+    push = None
+    if adaptive and n_dev > 1:
+        boundary = True
+        split = _hybrid_adaptive_split(
+            g_trow, g_tcol, g_tiles, r_rows, r_cols, r_vals,
+            n_dev, n_local, tile_r, tile_c,
+        )
+        if split is not None:
+            keep_t, keep_r, push_pack, push_res, push_recv, push_slab = split
+            g_trow, g_tcol, g_tiles = (
+                g_trow[keep_t], g_tcol[keep_t], g_tiles[keep_t]
+            )
+            r_rows, r_cols, r_vals = (
+                r_rows[keep_r], r_cols[keep_r], r_vals[keep_r]
+            )
+            # re-ensure global tile-row coverage (a row whose tiles ALL moved
+            # to push would leave garbage in the rect kernel's output): zero
+            # tiles pointed at the owner's own first block (halo-neutral)
+            n_trows = n_pad // tile_r
+            missing = np.setdiff1d(
+                np.arange(n_trows, dtype=np.int64),
+                np.unique(g_trow.astype(np.int64)),
+            )
+            if len(missing):
+                Bl = n_local // tile_c
+                own_blk = (missing * tile_r) // n_local * Bl
+                g_trow = np.concatenate([g_trow, missing]).astype(np.int32)
+                g_tcol = np.concatenate([g_tcol, own_blk]).astype(np.int32)
+                g_tiles = np.concatenate([
+                    g_tiles,
+                    np.zeros((len(missing), tile_r, tile_c), g_tiles.dtype),
+                ])
+                o = np.argsort(g_trow, kind="stable")
+                g_trow, g_tcol, g_tiles = g_trow[o], g_tcol[o], g_tiles[o]
+            push = (push_pack, push_res, push_recv, push_slab)
 
     rows_per_dev = n_local // tile_r
     dev_of_tile = g_trow // rows_per_dev
@@ -683,13 +949,25 @@ def partition_graph_hybrid(
         send_idx, halo = _hybrid_boundary(
             tiles, trow, tcol, res_col, res_val, n_dev, n_local, tile_c
         )
-        if not _boundary_pays_off(n_local, n_dev, halo, n_pad,
-                                  "hybrid-boundary", boundary_fallback):
-            if boundary_fallback:
+        kind = "hybrid-adaptive" if push is not None else "hybrid-boundary"
+        if not _boundary_pays_off(n_local, n_dev, halo, n_pad, kind,
+                                  boundary_fallback and push is None):
+            if boundary_fallback and push is None:
                 # restore the global-coordinate layout (= all_gather halo);
-                # _hybrid_boundary rewrote tcol/res_col in place
+                # _hybrid_boundary rewrote tcol/res_col in place. (With push
+                # pairs in play the pull buffer alone is not the whole
+                # story — warn only.)
                 tcol, res_col = tcol0, res_col0
                 send_idx, halo = None, 0
+
+    push_fields = {}
+    if push is not None:
+        (ptiles, ptrow, ptcol, pt_dst), (prow, pcol, pval), precv, pslab = push
+        push_fields = dict(
+            ptiles=ptiles, ptrow=ptrow, ptcol=ptcol, pt_dst=pt_dst,
+            prow=prow, pcol=pcol, pval=pval, push_recv=precv,
+            push_slab=pslab,
+        )
 
     return HybridShardedGraph(
         tiles=tiles, trow=trow, tcol=tcol,
@@ -699,4 +977,5 @@ def partition_graph_hybrid(
         sym_scale=None if sym_scale is None else
         np.asarray(sym_scale)[: n_pad].reshape(n_dev, n_local),
         send_idx=send_idx, halo_size=halo, node_perm=node_perm,
+        **push_fields,
     )

@@ -320,6 +320,128 @@ def _agg_hybrid_scaled_bwd(n_local, n_buf, axis, res, g):
 graphsum_dist_hybrid_scaled.defvjp(_agg_hybrid_scaled_fwd, _agg_hybrid_scaled_bwd)
 
 
+def _agg_hybrid_adaptive_impl(x_local, send_idx, tiles, trow, tcol, rrow,
+                              rcol, rval, ptiles, ptrow, ptcol, pt_dst, prow,
+                              pcol, pval, precv, n_local, n_buf, axis):
+    """Hybrid tiles + COO residual with the per-pair PUSH/PULL halo
+    (partition_graph_hybrid(adaptive=True)).
+
+    Pull pairs + local edges ride graphsum_dist_hybrid's machinery (compact
+    boundary buffer, rect tile kernel + residual segment_sum). Push pairs are
+    owned by the SOURCE device: its push-tile slab (compact output blocks,
+    LOCAL columns) partial-sums on the MXU, the push residual segment-sums
+    straight into the exchange slab slots, pt_dst scatters the compact tile
+    rows into the slab (pads drop), one all_to_all ships the partial ROWS,
+    and the receiver scatter-adds them at precv."""
+    from parallel_gcn_tpu.ops.pallas_bcsr import BCSR, bcsr_matmul_rect
+
+    out = _agg_hybrid_impl(
+        x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        n_local, n_buf, axis,
+    )
+    n_slab = precv.shape[0]  # n_dev · push_slab
+    # residual partials: slot-sorted segment_sum (pad slots -> n_slab, cut)
+    contrib = pval[:, None].astype(x_local.dtype) * x_local[pcol]
+    slab = jax.ops.segment_sum(
+        contrib, prow, num_segments=n_slab + 1, indices_are_sorted=True
+    )[:n_slab]
+    # tile partials over LOCAL columns, compact output rows
+    pk = BCSR(
+        tiles=ptiles, tile_rows=ptrow, tile_cols=ptcol,
+        n_nodes=n_local, n_tiles_real=ptiles.shape[0],
+        n_rows=pt_dst.shape[0],
+    )
+    part = bcsr_matmul_rect(pk, x_local).astype(slab.dtype)
+    slab = slab.at[pt_dst].add(part, mode="drop")
+    recv = jax.lax.all_to_all(
+        slab, axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    return out.at[precv].add(recv.astype(out.dtype), mode="drop")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
+def graphsum_dist_hybrid_adaptive(x_local, send_idx, tiles, trow, tcol, rrow,
+                                  rcol, rval, ptiles, ptrow, ptcol, pt_dst,
+                                  prow, pcol, pval, precv, n_local, n_buf,
+                                  axis=AXIS):
+    """Distributed Â·x: hybrid tile slabs + adaptive push/pull halo.
+
+    Self-adjoint at the collective level like graphsum_dist_hybrid: the
+    GLOBAL matrix is symmetric and the cotangent is row-sharded exactly like
+    x, so dx on device d's rows is the SAME pipeline applied to g — however
+    the edges were routed (pulled blocks, pushed partials)."""
+    return _agg_hybrid_adaptive_impl(
+        x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        ptiles, ptrow, ptcol, pt_dst, prow, pcol, pval, precv,
+        n_local, n_buf, axis,
+    )
+
+
+def _agg_hybrid_adaptive_fwd(x_local, send_idx, tiles, trow, tcol, rrow, rcol,
+                             rval, ptiles, ptrow, ptcol, pt_dst, prow, pcol,
+                             pval, precv, n_local, n_buf, axis):
+    out = _agg_hybrid_adaptive_impl(
+        x_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        ptiles, ptrow, ptcol, pt_dst, prow, pcol, pval, precv,
+        n_local, n_buf, axis,
+    )
+    return out, (send_idx, tiles, trow, tcol, rrow, rcol, rval,
+                 ptiles, ptrow, ptcol, pt_dst, prow, pcol, pval, precv)
+
+
+def _agg_hybrid_adaptive_bwd(n_local, n_buf, axis, res, g):
+    dx = _agg_hybrid_adaptive_impl(g, *res, n_local, n_buf, axis)
+    return (dx,) + (None,) * 15
+
+
+graphsum_dist_hybrid_adaptive.defvjp(
+    _agg_hybrid_adaptive_fwd, _agg_hybrid_adaptive_bwd
+)
+
+
+def _agg_hybrid_adaptive_scaled_impl(x_local, d_local, *rest):
+    # int8 pattern slabs (cf. _agg_hybrid_scaled_impl): scale the local rows
+    # BEFORE any exchange — both the pulled halo rows and the pushed partial
+    # sums then carry d-scaled operands — and scale the local output rows:
+    # d ⊙ B (d ⊙ x) = Â·x, however the edges were routed.
+    xs = (d_local[:, None] * x_local.astype(jnp.float32)).astype(x_local.dtype)
+    out = _agg_hybrid_adaptive_impl(xs, *rest)
+    return (d_local[:, None] * out).astype(out.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
+def graphsum_dist_hybrid_adaptive_scaled(x_local, d_local, send_idx, tiles,
+                                         trow, tcol, rrow, rcol, rval, ptiles,
+                                         ptrow, ptcol, pt_dst, prow, pcol,
+                                         pval, precv, n_local, n_buf,
+                                         axis=AXIS):
+    """graphsum_dist_hybrid_adaptive for int8 PATTERN slabs (multiplicity
+    tiles + d = deg^{-1/2} row-sharded). diag(d)·B·diag(d) stays symmetric,
+    so the self-adjoint collective shortcut holds unchanged."""
+    return _agg_hybrid_adaptive_scaled_impl(
+        x_local, d_local, send_idx, tiles, trow, tcol, rrow, rcol, rval,
+        ptiles, ptrow, ptcol, pt_dst, prow, pcol, pval, precv,
+        n_local, n_buf, axis,
+    )
+
+
+def _agg_hybrid_adaptive_scaled_fwd(x_local, d_local, *rest):
+    out = _agg_hybrid_adaptive_scaled_impl(x_local, d_local, *rest)
+    return out, (d_local,) + rest[:15]
+
+
+def _agg_hybrid_adaptive_scaled_bwd(n_local, n_buf, axis, res, g):
+    dx = _agg_hybrid_adaptive_scaled_impl(
+        g, *res, n_local, n_buf, axis
+    )
+    return (dx,) + (None,) * 16
+
+
+graphsum_dist_hybrid_adaptive_scaled.defvjp(
+    _agg_hybrid_adaptive_scaled_fwd, _agg_hybrid_adaptive_scaled_bwd
+)
+
+
 def graphsum_ring(x_local, row_slabs, col_slabs, val_slabs, n_local, n_dev, axis=AXIS):
     """Distributed Â·x, ``ppermute`` ring halo (SURVEY.md §7.7): node blocks
     rotate around the ICI ring while each device aggregates the slab of edges
@@ -396,6 +518,7 @@ def _make_forward(cfg: Config, sgraph):
     n_buf = sgraph.n_buf
     boundary = sgraph.send_idx is not None
     adaptive = (not hybrid) and getattr(sgraph, "push_slab", 0) > 0
+    hyb_adaptive = hybrid and getattr(sgraph, "push_slab", 0) > 0
     scaled = hybrid and sgraph.sym_scale is not None
     precision = cfg.tpu.matmul_precision
     residual = cfg.gcn.residual
@@ -418,30 +541,35 @@ def _make_forward(cfg: Config, sgraph):
             "softmax must stay device-local; tp is GCN-only) — set "
             "backend=segment, halo=all_gather|boundary, tp=1"
         )
-    if gat and cfg.tpu.edge_chunk:
-        # silently falling back to the unchunked per-device path would undo
-        # the memory bound the knob exists for
-        raise ValueError(
-            "edge_chunk streaming attention is single-chip only for now — "
-            "the mesh path's per-device edge set is already E/D; unset "
-            "edge_chunk (remat IS honored over the mesh)"
-        )
 
     def _aggregate(h, graph_args):
         # graph_args order matches _graph_specs: base arrays, then sym_scale
         # (int8 packs), then send_idx (boundary halo), then the push group
-        # (adaptive halo) — peel statically
+        # (adaptive halo: 4 COO arrays, or 8 for the hybrid tile variant) —
+        # peel statically
         args = list(graph_args)
         push_args = None
         if adaptive:
             push_args = args[-4:]
             del args[-4:]
+        elif hyb_adaptive:
+            push_args = args[-8:]
+            del args[-8:]
         send = args.pop() if boundary else None
-        if push_args is not None:
+        if adaptive:
             return graphsum_dist_adaptive(
                 h, *args, *push_args, n_local, send_idx=send
             )
         if hybrid:
+            if hyb_adaptive:
+                if scaled:
+                    d = args.pop()
+                    return graphsum_dist_hybrid_adaptive_scaled(
+                        h, d, send, *args, *push_args, n_local, n_buf
+                    )
+                return graphsum_dist_hybrid_adaptive(
+                    h, send, *args, *push_args, n_local, n_buf
+                )
             if scaled:
                 d = args.pop()
                 return graphsum_dist_hybrid_scaled(
@@ -659,6 +787,7 @@ def _make_forward(cfg: Config, sgraph):
 
         heads = cfg.gcn.heads
         attn_rate = cfg.gcn.attn_dropout
+        edge_chunk = cfg.tpu.edge_chunk
         args = list(graph_args)
         send = args.pop() if boundary else None
         rowl, colb, val = args
@@ -672,17 +801,7 @@ def _make_forward(cfg: Config, sgraph):
             keys = [None] * (2 * n_layers)
         live = (val != 0.0)[:, None]
 
-        def layer_fn(h, w, k_feat, k_attn, last):
-            d_out = w["a_src"].shape[1]
-            h = dropout(h, dropouts[layer], k_feat, training=training)
-            hw = feature_transform(h, w["W"], precision=precision,
-                                   out_dtype=dtype)
-            hw3 = hw.reshape(hw.shape[0], heads, d_out)
-            s = jnp.einsum("nhd,hd->nh", hw3, w["a_src"].astype(dtype))
-            t = jnp.einsum("nhd,hd->nh", hw3, w["a_dst"].astype(dtype))
-            buf = _gather_buffer(jnp.concatenate([hw, t], axis=1), send, AXIS)
-            hw_buf = buf[:, : hw.shape[1]].reshape(-1, heads, d_out)
-            t_buf = buf[:, hw.shape[1]:]
+        def _attend_full(s, t_buf, hw_buf, k_attn):
             e = jax.nn.leaky_relu(s[rowl] + t_buf[colb], LEAKY_SLOPE)
             e = jnp.where(live, e, jnp.asarray(_NEG, e.dtype))
             m = jax.ops.segment_max(e, rowl, num_segments=n_local,
@@ -697,10 +816,103 @@ def _make_forward(cfg: Config, sgraph):
             alpha = wgt / jnp.maximum(den, 1e-16)[rowl].astype(wgt.dtype)
             if training and attn_rate > 0:
                 alpha = dropout(alpha, attn_rate, k_attn, training=True)
-            out = jax.ops.segment_sum(
+            return jax.ops.segment_sum(
                 (alpha[:, :, None] * hw_buf[colb]).astype(jnp.float32),
                 rowl, num_segments=n_local, indices_are_sorted=True,
-            ).astype(dtype)
+            )
+
+        def _attend_chunked(s, t_buf, hw_buf, k_attn):
+            """Per-device streaming edge softmax over the LOCAL slab — the
+            mesh port of models/gat.py._attend_segment_chunked (two-pass:
+            running segment-max, then exp-accumulate numerator/denominator),
+            gathering sources from the halo buffer. Bounds the per-edge
+            working set to O(edge_chunk) per chip so reddit-scale attention
+            shards without materializing the [E/D, heads] logits."""
+            E = rowl.shape[0]
+            chunk = min(edge_chunk, E)
+            nc = -(-E // chunk)
+            pad = nc * chunk - E
+            row_c, col_c, live_c = rowl, colb, (val != 0.0)
+            if pad:
+                row_c = jnp.concatenate(
+                    [row_c, jnp.full(pad, n_local - 1, row_c.dtype)])
+                col_c = jnp.concatenate([col_c, jnp.zeros(pad, col_c.dtype)])
+                live_c = jnp.concatenate([live_c, jnp.zeros(pad, bool)])
+            xs = (
+                row_c.reshape(nc, chunk),
+                col_c.reshape(nc, chunk),
+                live_c.reshape(nc, chunk),
+                jnp.arange(nc),
+            )
+
+            def logits(r, c, lv):
+                e = jax.nn.leaky_relu(s[r] + t_buf[c], LEAKY_SLOPE)
+                return jnp.where(lv[:, None], e, jnp.asarray(_NEG, e.dtype))
+
+            def max_body(m, x):
+                r, c, lv, _ = x
+                cm = jax.ops.segment_max(logits(r, c, lv), r,
+                                         num_segments=n_local,
+                                         indices_are_sorted=True)
+                return jnp.maximum(m, cm), None
+
+            m0 = jnp.full((n_local, heads), _NEG, s.dtype)
+            m, _ = jax.lax.scan(max_body, m0, xs)
+            # exact: softmax is invariant to the subtracted max (see
+            # models/gat.py) — stop-gradient keeps scan-backward from saving
+            # the max pass's per-chunk residuals
+            m = jax.lax.stop_gradient(m)
+            keep = 1.0 - attn_rate
+            drop = training and attn_rate > 0.0
+
+            def acc_body(carry, x):
+                num, den = carry
+                r, c, lv, i = x
+                e = logits(r, c, lv)
+                wgt = jnp.where(lv[:, None], jnp.exp(e - m[r]), 0.0)
+                den = den + jax.ops.segment_sum(
+                    wgt.astype(jnp.float32), r, num_segments=n_local,
+                    indices_are_sorted=True,
+                )
+                wn = wgt
+                if drop:
+                    mask = jax.random.bernoulli(
+                        jax.random.fold_in(k_attn, i), keep, wgt.shape
+                    )
+                    wn = jnp.where(mask, wgt / jnp.asarray(keep, wgt.dtype),
+                                   0.0)
+                num = num + jax.ops.segment_sum(
+                    (wn[:, :, None] * hw_buf[c]).astype(jnp.float32), r,
+                    num_segments=n_local, indices_are_sorted=True,
+                )
+                return (num, den), None
+
+            d_out = hw_buf.shape[-1]
+            num0 = jnp.zeros((n_local, heads, d_out), jnp.float32)
+            den0 = jnp.zeros((n_local, heads), jnp.float32)
+            # checkpoint each step: scan-backward saves only the O(n_local)
+            # carries and recomputes the chunk internals
+            (num, den), _ = jax.lax.scan(jax.checkpoint(acc_body),
+                                         (num0, den0), xs)
+            return num / jnp.maximum(den, 1e-16)[:, :, None]
+
+        def layer_fn(h, w, k_feat, k_attn, last):
+            d_out = w["a_src"].shape[1]
+            h = dropout(h, dropouts[layer], k_feat, training=training)
+            hw = feature_transform(h, w["W"], precision=precision,
+                                   out_dtype=dtype)
+            hw3 = hw.reshape(hw.shape[0], heads, d_out)
+            s = jnp.einsum("nhd,hd->nh", hw3, w["a_src"].astype(dtype))
+            t = jnp.einsum("nhd,hd->nh", hw3, w["a_dst"].astype(dtype))
+            buf = _gather_buffer(jnp.concatenate([hw, t], axis=1), send, AXIS)
+            hw_buf = buf[:, : hw.shape[1]].reshape(-1, heads, d_out)
+            t_buf = buf[:, hw.shape[1]:]
+            attend = (
+                _attend_chunked
+                if edge_chunk and edge_chunk < rowl.shape[0]
+                else _attend_full
+            )
+            out = attend(s, t_buf, hw_buf, k_attn).astype(dtype)
             if last:
                 return out.mean(axis=1)
             return out.reshape(out.shape[0], heads * d_out)
@@ -918,7 +1130,8 @@ def _graph_specs(sgraph, with_sdeg: bool = False):
     ``with_sdeg=True`` (SAGE/GIN) reserves ONE extra trailing slot for the
     sharded_sqrt_deg array, which device_put_sharded_inputs appends and
     forward_agg_variant peels before _aggregate sees the tuple."""
-    if isinstance(sgraph, HybridShardedGraph):
+    hybrid = isinstance(sgraph, HybridShardedGraph)
+    if hybrid:
         arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
         specs = (P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
@@ -936,9 +1149,17 @@ def _graph_specs(sgraph, with_sdeg: bool = False):
         arrays = arrays + (sgraph.send_idx,)
         specs = specs + (P(AXIS, None),)
     if getattr(sgraph, "push_slab", 0):
-        arrays = arrays + (sgraph.push_row, sgraph.push_col,
-                           sgraph.push_val, sgraph.push_recv)
-        specs = specs + (P(AXIS, None),) * 4
+        if hybrid:
+            arrays = arrays + (sgraph.ptiles, sgraph.ptrow, sgraph.ptcol,
+                               sgraph.pt_dst, sgraph.prow, sgraph.pcol,
+                               sgraph.pval, sgraph.push_recv)
+            specs = specs + (P(AXIS, None, None, None),) + (
+                (P(AXIS, None),) * 7
+            )
+        else:
+            arrays = arrays + (sgraph.push_row, sgraph.push_col,
+                               sgraph.push_val, sgraph.push_recv)
+            specs = specs + (P(AXIS, None),) * 4
     if with_sdeg:
         specs = specs + (P(AXIS, None),)
     return specs, arrays
@@ -1354,13 +1575,13 @@ def fit_parallel(
         )
 
     if cfg.tpu.backend in ("hybrid", "bcsr"):
-        if halo in ("ring", "adaptive"):
+        if halo == "ring":
             raise ValueError(
                 "backend=hybrid/bcsr uses per-device tile slabs against the "
-                "all_gather or boundary halo; the ppermute ring and the "
-                "adaptive push/pull exchange are only available with the COO "
-                "backends (set backend=segment, or halo=boundary to keep the "
-                "tile slabs AND memory scaling)"
+                "all_gather, boundary or adaptive halo; the ppermute ring is "
+                "only available with the COO backends (set backend=segment, "
+                "or halo=boundary|adaptive to keep the tile slabs AND "
+                "memory scaling)"
             )
         # tile-accelerated per-device aggregation
         tile_dtype = cfg.tpu.tile_dtype
@@ -1375,6 +1596,7 @@ def fit_parallel(
             tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
             min_tile_nnz=cfg.tpu.min_tile_nnz or None,
             boundary=halo == "boundary",
+            adaptive=halo == "adaptive",
             balance=cfg.tpu.balance_slabs,
             # never ship a "compact" buffer bigger than the gathered matrix
             boundary_fallback=cfg.tpu.halo_fallback,

@@ -405,6 +405,39 @@ def test_gcn_remat_parallel_matches_plain():
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-6)
 
 
+@pytest.mark.parametrize("halo", ["all_gather", "boundary"])
+def test_gat_parallel_edge_chunk_matches_unchunked(halo):
+    """VERDICT round-2 item 9: streaming (edge_chunk) attention over the
+    mesh — per-device two-pass softmax on the local edge slab against the
+    halo buffer. Must reproduce the unchunked mesh trajectory exactly (same
+    math, f32 accumulation; feature-dropout keys are chunk-independent)."""
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+
+    def run(chunk):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.3, 0.3),
+                          epochs=8, early_stopping=0, model="gat", heads=2,
+                          remat=True),
+            tpu=TPUConfig(backend="segment", seed=7, n_devices=4, halo=halo,
+                          matmul_precision="highest", edge_chunk=chunk,
+                          halo_fallback=False),
+            train=TrainConfig(verbose=False, mode="eager"),
+        )
+        return fit_parallel(cfg, ds)
+
+    a, b = run(0), run(100)  # 100 does not divide the slab: pad-tail path
+    np.testing.assert_allclose(a.history, b.history, rtol=2e-4, atol=2e-5)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=1e-4)
+
+
 def test_gat_parallel_rejects_unsupported_layouts():
     from parallel_gcn_tpu.data.parser import Dataset
     from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
@@ -473,9 +506,11 @@ def test_gat_checkpoint_roundtrip_and_resume(tmp_path):
     assert resumed.test_acc == pytest.approx(plain.test_acc, abs=1e-6)
 
 
-def test_gat_rejects_tile_only_graph():
-    """model=gat with a hybrid/bcsr pack must fail at CONFIG time (the tile
-    pack has no per-edge list; a trace-time assert would vanish under -O)."""
+def test_gat_tile_routing_and_segment_rejection():
+    """model=gat with a hybrid/bcsr pack routes to the fused tile-attention
+    backend (ops/tile_attention.py); requesting backend=segment on a
+    tile-only graph (no complete per-edge list) stays a CONFIG-time error —
+    a trace-time assert would vanish under -O."""
     from parallel_gcn_tpu.data.parser import Dataset, to_device
     from parallel_gcn_tpu.train import build_model
 
@@ -486,14 +521,19 @@ def test_gat_rejects_tile_only_graph():
         output_dim=int(labels.max()) + 1,
     )
     dds = to_device(ds, hybrid=True, min_tile_nnz=4)
-    cfg = Config(
-        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
-                      model="gat", heads=2),
-        tpu=TPUConfig(backend="hybrid"),
-        train=TrainConfig(verbose=False),
-    )
-    with pytest.raises(ValueError, match="gat"):
-        build_model(cfg, dds)
+
+    def cfg(backend):
+        return Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                          model="gat", heads=2),
+            tpu=TPUConfig(backend=backend),
+            train=TrainConfig(verbose=False),
+        )
+
+    assert build_model(cfg("hybrid"), dds).backend == "tile"
+    if not dds.graph.coo_complete:
+        with pytest.raises(ValueError, match="segment"):
+            build_model(cfg("segment"), dds)
 
 
 def test_gat_ignores_input_preagg():

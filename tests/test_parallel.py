@@ -658,6 +658,171 @@ def test_hybrid_boundary_matches_single_device(tile_r, tile_c, dtype, balance,
         pallas_bcsr._INTERPRET[0] = old
 
 
+@pytest.mark.parametrize("tile_c,dtype,tol", [
+    (128, np.float32, 2e-5),
+    (256, np.float32, 2e-5),   # rectangular blocks: separate push slab shapes
+    (128, "int8", 2e-5),       # pattern slabs: d-scaled push partials
+])
+def test_hybrid_adaptive_matches_single_device(tile_c, dtype, tol):
+    """VERDICT round-2 item 3: the fast tile backend composed with the best
+    memory-scaling halo. On a hub-heavy layout the per-pair push/pull split
+    must (a) actually choose push pairs, (b) keep the compact buffer below
+    the gathered matrix, and (c) reproduce the single-device aggregation —
+    forward AND gradient (the self-adjoint collective shortcut must hold
+    however the edges were routed)."""
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+    from parallel_gcn_tpu.parallel.train_parallel import (
+        graphsum_dist_hybrid_adaptive,
+        graphsum_dist_hybrid_adaptive_scaled,
+    )
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        n_dev = 4
+        csr = _hub_csr(n=1040, n_hubs=3)
+        sg = partition_graph_hybrid(
+            csr, n_dev, tile_r=128, tile_c=tile_c,
+            tile_dtype=np.dtype(dtype), min_tile_nnz=8, adaptive=True,
+        )
+        assert sg.push_slab > 0 and sg.ptiles is not None
+        assert sg.send_idx is not None
+        assert sg.n_buf < sg.n_nodes_pad  # the halo actually scales memory
+        mesh = make_mesh(n_dev)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((sg.n_nodes_pad, 16)).astype(np.float32)
+
+        g1 = build_graph(csr, n_nodes_pad=sg.n_nodes_pad)
+        from parallel_gcn_tpu.ops.graphsum import graphsum
+
+        expected = np.asarray(graphsum(jnp.asarray(x), g1, backend="segment"))
+        perm = sg.node_perm
+        if perm is not None:
+            x = x[perm]
+            expected = expected[perm]
+
+        push_arrays = (sg.ptiles, sg.ptrow, sg.ptcol, sg.pt_dst,
+                       sg.prow, sg.pcol, sg.pval, sg.push_recv)
+        push_specs = (P(AXIS, None, None, None),) + (P(AXIS, None),) * 7
+
+        if sg.sym_scale is not None:
+            def agg(x, tiles, trow, tcol, rr, rc, rv, s, d, *push):
+                return graphsum_dist_hybrid_adaptive_scaled(
+                    x, d[0], s[0], tiles[0], trow[0], tcol[0], rr[0], rc[0],
+                    rv[0], *(p[0] for p in push), sg.n_local, sg.n_buf,
+                )
+
+            extra_specs = (P(AXIS, None),)
+            extra_args = (sg.sym_scale,)
+        else:
+            def agg(x, tiles, trow, tcol, rr, rc, rv, s, *push):
+                return graphsum_dist_hybrid_adaptive(
+                    x, s[0], tiles[0], trow[0], tcol[0], rr[0], rc[0], rv[0],
+                    *(p[0] for p in push), sg.n_local, sg.n_buf,
+                )
+
+            extra_specs = ()
+            extra_args = ()
+
+        specs = (
+            P(AXIS, None),
+            P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
+            P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None),
+        ) + extra_specs + push_specs
+        fn = jax.jit(jax.shard_map(
+            agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+            check_vma=False,
+        ))
+        args = (x, sg.tiles, sg.trow, sg.tcol, sg.res_row, sg.res_col,
+                sg.res_val, sg.send_idx) + extra_args + push_arrays
+        out = np.asarray(fn(*args))
+        np.testing.assert_allclose(out, expected, rtol=tol, atol=tol)
+
+        # gradient: d sum(Âx)/dx = Âᵀ1 = Â1, in the permuted labeling
+        adj = np.zeros((sg.n_nodes_pad, sg.n_nodes_pad), np.float32)
+        adj[csr.row_ids(), csr.indices] = csr.values
+        expected_grad = adj.T @ np.ones_like(x)
+        if perm is not None:
+            expected_grad = expected_grad[perm]
+        grad = np.asarray(jax.jit(jax.grad(
+            lambda x: jnp.sum(jax.shard_map(
+                agg, mesh=mesh, in_specs=specs, out_specs=P(AXIS, None),
+                check_vma=False,
+            )(x, *args[1:]))
+        ))(jnp.asarray(x)))
+        np.testing.assert_allclose(grad, expected_grad, rtol=tol,
+                                   atol=tol * 10)
+    finally:
+        pallas_bcsr._INTERPRET[0] = old
+
+
+def test_fit_parallel_hybrid_adaptive_matches_single_chip():
+    """End-to-end: backend=hybrid halo=adaptive trains with single-chip
+    metric parity on the hub fixture (VERDICT round-2 item 3's Done bar) —
+    the fused scan program, int8 pattern slabs, push pairs active."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.ops import pallas_bcsr
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+    from parallel_gcn_tpu.train import fit
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    try:
+        csr = _hub_csr(n=1040, n_hubs=3)
+        rng = np.random.default_rng(0)
+        n = csr.n_rows
+        labels = rng.integers(0, 4, n).astype(np.int32)
+        feats = rng.standard_normal((n, 16)).astype(np.float32)
+        feats[np.arange(n), labels] += 2.0
+        split = rng.choice([1, 2, 3], size=n,
+                           p=[0.5, 0.25, 0.25]).astype(np.int32)
+        ds = Dataset(
+            name="hub", graph=csr, feature_csr=None, features=feats,
+            labels=labels, split=split, n_nodes=n, input_dim=16, output_dim=4,
+        )
+        gcn = GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
+                        epochs=12, early_stopping=0)
+        cfg = Config(
+            gcn=gcn,
+            tpu=TPUConfig(backend="hybrid", seed=7, n_devices=4,
+                          halo="adaptive", min_tile_nnz=8, tile_size=128,
+                          tile_cols=128, tile_dtype="int8",
+                          matmul_precision="highest", halo_fallback=False),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        # the fixture must actually exercise the push path under the exact
+        # partition fit_parallel builds (int8, balanced)
+        from parallel_gcn_tpu.parallel.partition import partition_graph_hybrid
+
+        probe = partition_graph_hybrid(
+            csr, 4, tile_r=128, tile_c=128, tile_dtype=np.dtype("int8"),
+            min_tile_nnz=8, adaptive=True, balance=True,
+        )
+        assert probe.push_slab > 0
+        res_par = fit_parallel(cfg, ds)
+
+        single_cfg = Config(
+            gcn=gcn,
+            tpu=TPUConfig(backend="segment", seed=7,
+                          matmul_precision="highest"),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        res_one = fit(single_cfg, to_device(ds))
+
+        assert res_par.epochs_run == res_one.epochs_run
+        np.testing.assert_allclose(
+            res_par.history[:, [0, 2]], res_one.history[:, [0, 2]],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            res_par.history[:, [1, 3]], res_one.history[:, [1, 3]], atol=0.02
+        )
+        assert abs(res_par.test_acc - res_one.test_acc) < 0.03
+    finally:
+        pallas_bcsr._INTERPRET[0] = old
+
+
 def _hub_community_csr():
     """Balance fixture: blocks 0–3 (128 nodes each) form an inter-connected
     hub community (4 live tiles per block-row); blocks 4–7 carry only
