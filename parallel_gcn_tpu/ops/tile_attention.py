@@ -67,6 +67,34 @@ def _pad_lane(n: int) -> int:
     return ((n + _LANE - 1) // _LANE) * _LANE
 
 
+# Attention kernels hold several [tile_r, tile_c] f32 temporaries live at
+# once (logits, alpha, SDDMM dot, jacobian term — per orientation in the
+# backward); the GCN's tuned wide packs (512x1024 on synth-reddit) blow the
+# 16 MB VMEM scope (measured: 16.66M requested). Wide tiles are therefore
+# VIEW-SPLIT into <=_MAX_TILE_C column strips at op entry — a pure reshape:
+# the edge set (and its symmetry, which the backward's mirror traversal
+# needs) is unchanged, trow stays sorted (each tile expands to k strips of
+# the SAME row), and the GCN's SpMM keeps the wide tiles it was tuned with.
+_MAX_TILE_C = 512
+
+
+def _split_wide(tiles, trow, tcol):
+    T, R, C = tiles.shape
+    if C <= _MAX_TILE_C:
+        return tiles, trow, tcol
+    assert C % _MAX_TILE_C == 0, (C, _MAX_TILE_C)
+    k = C // _MAX_TILE_C
+    tiles = (
+        tiles.reshape(T, R, k, _MAX_TILE_C)
+        .transpose(0, 2, 1, 3)
+        .reshape(T * k, R, _MAX_TILE_C)
+    )
+    trow = jnp.repeat(trow, k)
+    tcol = (tcol[:, None] * k
+            + jnp.arange(k, dtype=tcol.dtype)[None, :]).reshape(-1)
+    return tiles, trow, tcol
+
+
 def _is_first_of_row(rows_ref):
     t = pl.program_id(0)
     return jnp.where(t == 0, True, rows_ref[t] != rows_ref[jnp.maximum(t - 1, 0)])
@@ -450,6 +478,8 @@ def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
     assert v.shape[:2] == (n, H) and t.shape == (n, H)
     assert 3 * H <= _LANE, f"heads={H} exceeds the packed-statistics lanes"
     assert n == pack.n_nodes, (n, pack.n_nodes)
+    tiles, trow, tcol = _split_wide(pack.tiles, pack.tile_rows,
+                                    pack.tile_cols)
     has_res = bool(graph.is_hybrid)
     if has_res:
         rrow, rcol = graph.row, graph.col
@@ -461,6 +491,6 @@ def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
         rlive = jnp.zeros((1, 1), bool)
     D = v.shape[2]
     return _gat_attend(
-        s, t, v, pack.tiles, pack.tile_rows, pack.tile_cols,
+        s, t, v, tiles, trow, tcol,
         rrow, rcol, rlive, (H, D, float(slope), has_res),
     )

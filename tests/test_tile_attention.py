@@ -102,6 +102,45 @@ def test_tile_attention_matches_dense_autodiff(tile_c, min_nnz, tile_dtype,
                                    err_msg=f"{label}: {name}")
 
 
+def test_wide_tiles_split_for_attention(monkeypatch):
+    """Packs wider than _MAX_TILE_C (the GCN's tuned 512x1024 reddit tiles
+    blow the attention kernels' 16 MB VMEM scope) are view-split into column
+    strips at op entry — forward and gradients must be identical to the
+    unsplit evaluation (the split is a pure re-tiling of the same edge set)."""
+    import parallel_gcn_tpu.ops.tile_attention as ta
+
+    csr, _ = random_graph(300, 8, seed=5)
+    g = build_graph(csr, hybrid=True, min_tile_nnz=60, tile_size=128,
+                    tile_cols=256)
+    n = g.n_nodes
+    H, D = 2, 4
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+
+    def run():
+        out = gat_attend_tiles(g, s, t, v, slope=SLOPE)
+        grads = jax.grad(
+            lambda s, t, v: jnp.sum(gat_attend_tiles(g, s, t, v, slope=SLOPE)
+                                    * cot),
+            argnums=(0, 1, 2),
+        )(s, t, v)
+        return [np.asarray(x) for x in (out, *grads)]
+
+    plain = run()
+    monkeypatch.setattr(ta, "_MAX_TILE_C", 128)  # force the split path
+    tiles, trow, tcol = ta._split_wide(g.bcsr.tiles, g.bcsr.tile_rows,
+                                       g.bcsr.tile_cols)
+    assert tiles.shape[1:] == (128, 128)
+    assert tiles.shape[0] == 2 * g.bcsr.tiles.shape[0]
+    assert bool((np.diff(np.asarray(trow)) >= 0).all())  # stays row-sorted
+    split = run()
+    for name, a, b in zip(("out", "ds", "dt", "dv"), plain, split):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6, err_msg=name)
+
+
 @pytest.mark.parametrize("n_layers,heads", [(2, 1), (2, 4), (3, 2)])
 def test_gat_tile_backend_matches_golden(n_layers, heads):
     """GATModel backend='tile' on a hybrid-built graph must reproduce the
