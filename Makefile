@@ -38,10 +38,16 @@ run-cora-gat:
 	$(PY) -m parallel_gcn_tpu cora $(GAT_ARGS)
 run-citeseer-gat:
 	$(PY) -m parallel_gcn_tpu citeseer $(GAT_ARGS) compute_dtype=float32
-# attention at reddit scale on one chip: remat + streaming chunked edge
-# softmax (see PERFORMANCE.md — fused scan mode faults this tunnel's worker
-# at this scale, so eager)
+# attention at reddit scale on one chip: fused block-sparse tile attention
+# (ops/tile_attention.py) over the dataset's tuned int8 pack — 0.54 s/epoch
+# (PERFORMANCE.md; the params file already sets backend=hybrid + tiles)
 run-reddit-gat:
+	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
+	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager
+# the COO fallback path (needed when attn_dropout > 0): remat + streaming
+# chunked edge softmax, 16.6 s/epoch (fused scan mode faults this tunnel's
+# worker at this scale, so eager)
+run-reddit-gat-coo:
 	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
 	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager \
 	  backend=segment reorder=none remat=true edge_chunk=1048576 \

@@ -93,6 +93,29 @@ def main() -> int:
                     "tile slabs with the adaptive push/pull halo "
                     "(partition_graph_hybrid(adaptive=True)); on the CPU "
                     "mesh the tile kernel runs in interpret mode.")
+    ap.add_argument("--mesh-tile", type=int, default=128,
+                    help="tile_r = tile_c for the MESH partition (hybrid "
+                    "backend). The single-chip tuned shapes (512x1024 on "
+                    "products) amortize grid overhead on one chip, but the "
+                    "pull halo ships whole tile_c-row blocks — at products' "
+                    "~2%% tile fill, 512-col blocks give a 0.90x 'compact' "
+                    "buffer (measured). Fine 128-col tiles keep the halo "
+                    "row-granular while still MXU-accelerating the bulk "
+                    "edges. 0 = keep the dataset config's shape.")
+    ap.add_argument("--mesh-min-nnz", type=int, default=32,
+                    help="min_tile_nnz for the mesh partition when "
+                    "--mesh-tile is set (break-even scales with tile area; "
+                    "32 is the measured 128x128 int8 floor)")
+    ap.add_argument("--step-backend", default="segment",
+                    help="aggregation backend for the EXECUTED step (the "
+                    "memory accounting always uses --backend). Default "
+                    "segment: interpret-mode Pallas at 100M-edge scale is "
+                    "not tractable on a CPU host — the tile-accelerated "
+                    "sharded step is validated at test scale instead "
+                    "(dryrun_multichip, tests/test_parallel.py hybrid x "
+                    "adaptive parity). On a real multi-chip slice pass "
+                    "--step-backend hybrid to execute the tile step at "
+                    "full scale.")
     args = ap.parse_args()
     n_dev = args.devices
 
@@ -128,13 +151,19 @@ def main() -> int:
         if tile_dtype == "auto":
             tile_dtype = ("float32" if cfg.tpu.matmul_precision == "highest"
                           else "bfloat16")
+        tile_r = args.mesh_tile or cfg.tpu.tile_size
+        tile_c = args.mesh_tile or cfg.tpu.tile_cols
+        min_nnz = (args.mesh_min_nnz if args.mesh_tile
+                   else cfg.tpu.min_tile_nnz) or None
         kw = dict(
-            node_pad=cfg.tpu.node_pad, tile_r=cfg.tpu.tile_size,
-            tile_c=cfg.tpu.tile_cols, tile_dtype=np.dtype(tile_dtype),
+            node_pad=cfg.tpu.node_pad, tile_r=tile_r, tile_c=tile_c,
+            tile_dtype=np.dtype(tile_dtype),
             tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
-            min_tile_nnz=cfg.tpu.min_tile_nnz or None,
+            min_tile_nnz=min_nnz,
             balance=cfg.tpu.balance_slabs,
         )
+        cfg.tpu.tile_size, cfg.tpu.tile_cols = tile_r, tile_c
+        cfg.tpu.min_tile_nnz = min_nnz or 0
         sgb = partition_graph_hybrid(ds.graph, n_dev, boundary=True, **kw)
         sg = partition_graph_hybrid(ds.graph, n_dev, adaptive=True, **kw)
     else:
@@ -206,8 +235,12 @@ def main() -> int:
             " gathered hidden matrix replicated per device) fits at D=8 under"
             " one v5e's 16 GB HBM only with the boundary layout."
         )
-    # the memory criterion itself: the demo fails loudly if the boundary
-    # layout stops scaling on the headline dataset (e.g. a full gather
+    for ln in lines:
+        print(ln, flush=True)
+
+    # the memory criterion itself (checked AFTER the accounting prints, so a
+    # failure leaves the evidence visible): the demo fails loudly if the
+    # halo layout stops scaling on the headline dataset (e.g. a full gather
     # sneaking back into the path, or the community reorder regressing).
     # Small dense SBMs (synth-medium) legitimately have halo ≈ everything.
     if args.dataset == "synth-products":
@@ -220,21 +253,32 @@ def main() -> int:
               f"(ratio {buf_rows/full_rows:.2f}) — expected for small dense "
               "graphs; the scaling claim is about products-scale locality")
 
-    for ln in lines:
-        print(ln, flush=True)
-
     if not args.skip_step:
         if args.step_hidden:
             cfg.gcn.hidden_dims = (args.step_hidden,) * (cfg.gcn.n_layers - 1)
-        if backend == "hybrid" and jax.default_backend() == "cpu":
+        step_backend = args.step_backend if backend == "hybrid" else backend
+        sg_step = sg
+        if step_backend != backend:
+            # execute on the COO adaptive partition (same halo discipline);
+            # the tile-accelerated step itself is validated at test scale —
+            # see --step-backend help
+            print(f"executed step uses backend={step_backend} "
+                  "(interpret-mode tiles are CPU-intractable at this scale; "
+                  "--step-backend hybrid on real multi-chip hardware)",
+                  flush=True)
+            sg_step = partition_graph(ds.graph, n_dev,
+                                      node_pad=cfg.tpu.node_pad,
+                                      adaptive=True)
+        cfg.tpu.backend = step_backend
+        if step_backend == "hybrid" and jax.default_backend() == "cpu":
             from parallel_gcn_tpu.ops import pallas_bcsr
 
             pallas_bcsr._INTERPRET[0] = True  # Mosaic is TPU-only
         mesh = make_mesh(n_dev)
-        x, labels, split = shard_dataset(ds, sg)
-        inputs = device_put_sharded_inputs(mesh, sg, x, labels, split)
+        x, labels, split = shard_dataset(ds, sg_step)
+        inputs = device_put_sharded_inputs(mesh, sg_step, x, labels, split)
         counts = {s: int((ds.split == s).sum()) for s in (1, 2, 3)}
-        step = make_parallel_epoch_step(cfg, mesh, sg, counts)
+        step = make_parallel_epoch_step(cfg, mesh, sg_step, counts)
         w = init_model_params(cfg, jax.random.PRNGKey(cfg.tpu.seed),
                               ds.input_dim, ds.output_dim)
         key = jax.random.PRNGKey(cfg.tpu.seed)
@@ -242,7 +286,8 @@ def main() -> int:
         w, opt, key, m = step(w, init_adam(w), key, *inputs)
         m = np.asarray(m)
         ok = bool(np.isfinite(m).all())
-        line = (f"executed 1 full sharded training step (backend={backend}, "
+        line = (f"executed 1 full sharded training step "
+                f"(backend={step_backend}, "
                 f"H={cfg.gcn.hidden_dims[0]}) on the "
                 f"{n_dev}-device {jax.default_backend()} mesh in "
                 f"{time.time()-t0:.0f}s: train_loss={m[0]:.4f} "

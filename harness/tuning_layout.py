@@ -43,7 +43,8 @@ GRID = {
 
 def time_layout(dataset: str, backend: str, reorder: str, tile: int,
                 epochs: int, reps: int, tile_cols: int = 0,
-                tile_dtype: str = "auto") -> float | None:
+                tile_dtype: str = "auto",
+                min_tile_nnz: int | None = None) -> float | None:
     cfg = load_config(default_params_path(dataset))
     cfg.gcn.epochs = epochs
     cfg.gcn.early_stopping = 0
@@ -54,6 +55,8 @@ def time_layout(dataset: str, backend: str, reorder: str, tile: int,
     cfg.tpu.tile_size = tile
     cfg.tpu.tile_cols = tile_cols
     cfg.tpu.tile_dtype = tile_dtype
+    if min_tile_nnz is not None:
+        cfg.tpu.min_tile_nnz = min_tile_nnz
     try:
         ds, dds = prepare_device_dataset(cfg, dataset)
         model = build_model(cfg, dds)
@@ -92,7 +95,13 @@ def main() -> int:
     ap.add_argument("--reorders", default="", help="comma filter, e.g. rcm")
     ap.add_argument("--tile-dtypes", default="auto",
                     help="comma list for tile backends, e.g. auto,int8")
+    ap.add_argument("--min-nnz", default="",
+                    help="comma list of min_tile_nnz thresholds to sweep "
+                    "jointly with the tile shape (tile/residual break-even; "
+                    "empty = the dataset config's value)")
     args = ap.parse_args()
+    nnz_list = ([int(v) for v in args.min_nnz.split(",")]
+                if args.min_nnz else [None])
     grid = dict(GRID)
     if args.backends:
         known = ("dense", "segment", "bcsr", "hybrid")
@@ -111,26 +120,27 @@ def main() -> int:
 
     rows = []
     seen = set()
-    for backend, reorder, tile, mult, tdt in itertools.product(
+    for backend, reorder, tile, mult, tdt, nnz in itertools.product(
         grid["backend"], grid["reorder"], grid["tile_size"], grid["cols_mult"],
-        args.tile_dtypes.split(","),
+        args.tile_dtypes.split(","), nnz_list,
     ):
         tile_cols = tile * mult
         # tile knobs only matter for tile-based backends — dedupe the rest
         tiled = backend in ("bcsr", "hybrid")
         key = (backend, reorder, tile if tiled else 0, tile_cols if tiled else 0,
-               tdt if tiled else "auto")
+               tdt if tiled else "auto", nnz if tiled else None)
         if key in seen:
             continue
         seen.add(key)
         ms = time_layout(args.dataset, backend, reorder, tile,
                          args.epochs, args.reps, tile_cols=tile_cols,
-                         tile_dtype=tdt if tiled else "auto")
+                         tile_dtype=tdt if tiled else "auto",
+                         min_tile_nnz=nnz if tiled else None)
         if ms is None:
             continue
         label = f"{backend}/{reorder}" + (
             f"/t{tile}x{tile_cols}/{tdt}" if tiled else ""
-        )
+        ) + (f"/nnz{nnz}" if tiled and nnz is not None else "")
         print(f"{args.dataset} {label:24s} epoch {ms:.4f} ms", flush=True)
         rows.append((ms, label))
 
