@@ -95,14 +95,20 @@ def _edge_softmax_segment(graph: Graph, s, t, n_nodes):
     # contributions through it cancel); skipping them avoids a useless
     # scatter-of-argmax backward pass
     m = jax.lax.stop_gradient(m)
-    w = jnp.exp(e - m[graph.row])
+    # fence the gathered stats: XLA:TPU miscompiles fused
+    # gather+select+segment softmax programs at scale (measured — see
+    # ops/tile_attention._gather_stats); the barrier only splits a fusion
+    (m_e,) = jax.lax.optimization_barrier((m[graph.row],))
+    w = jnp.exp(e - m_e)
     w = jnp.where(live, w, 0.0)
     # f32 denominator: a bf16 accumulator loses per-edge increments on
     # high-degree rows (see _attend_segment_chunked)
     denom = jax.ops.segment_sum(w.astype(jnp.float32), graph.row,
                                 num_segments=n_nodes,
                                 indices_are_sorted=True)
-    return w / jnp.maximum(denom, 1e-16)[graph.row].astype(w.dtype)
+    den_e, = jax.lax.optimization_barrier(
+        (jnp.maximum(denom, 1e-16)[graph.row],))
+    return w / den_e.astype(w.dtype)
 
 
 @dataclass(frozen=True)
@@ -222,7 +228,9 @@ class GATModel:
             num, den = carry
             r, c, lv, i = x
             e = logits(r, c, lv)
-            w = jnp.where(lv[:, None], jnp.exp(e - m[r]), 0.0)
+            # fenced gather — see _attend_segment / tile_attention
+            (m_e,) = jax.lax.optimization_barrier((m[r],))
+            w = jnp.where(lv[:, None], jnp.exp(e - m_e), 0.0)
             # f32 accumulation regardless of the compute dtype: a bf16
             # accumulator stops absorbing per-edge increments once it
             # exceeds ~256x the addend — exactly a reddit community hub's

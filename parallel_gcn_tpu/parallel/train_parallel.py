@@ -807,13 +807,18 @@ def _make_forward(cfg: Config, sgraph):
             m = jax.ops.segment_max(e, rowl, num_segments=n_local,
                                     indices_are_sorted=True)
             m = jnp.maximum(m, jnp.asarray(_NEG, e.dtype))
-            wgt = jnp.where(live, jnp.exp(e - m[rowl]), 0.0)
+            # fenced gathers: XLA:TPU miscompiles fused gather+select+segment
+            # softmax programs at scale (see ops/tile_attention._gather_stats)
+            (m_e,) = jax.lax.optimization_barrier((m[rowl],))
+            wgt = jnp.where(live, jnp.exp(e - m_e), 0.0)
             # f32 accumulation: bf16 accumulators drop per-edge increments
             # on high-degree rows (see models/gat.py)
             den = jax.ops.segment_sum(wgt.astype(jnp.float32), rowl,
                                       num_segments=n_local,
                                       indices_are_sorted=True)
-            alpha = wgt / jnp.maximum(den, 1e-16)[rowl].astype(wgt.dtype)
+            (den_e,) = jax.lax.optimization_barrier(
+                (jnp.maximum(den, 1e-16)[rowl],))
+            alpha = wgt / den_e.astype(wgt.dtype)
             if training and attn_rate > 0:
                 alpha = dropout(alpha, attn_rate, k_attn, training=True)
             return jax.ops.segment_sum(
@@ -869,7 +874,9 @@ def _make_forward(cfg: Config, sgraph):
                 num, den = carry
                 r, c, lv, i = x
                 e = logits(r, c, lv)
-                wgt = jnp.where(lv[:, None], jnp.exp(e - m[r]), 0.0)
+                # fenced gather — see _attend_full / tile_attention
+                (m_e,) = jax.lax.optimization_barrier((m[r],))
+                wgt = jnp.where(lv[:, None], jnp.exp(e - m_e), 0.0)
                 den = den + jax.ops.segment_sum(
                     wgt.astype(jnp.float32), r, num_segments=n_local,
                     indices_are_sorted=True,
