@@ -160,7 +160,13 @@ def main() -> int:
             tile_dtype=np.dtype(tile_dtype),
             tile_budget_bytes=cfg.tpu.tile_budget_mb * 1024 * 1024,
             min_tile_nnz=min_nnz,
-            balance=cfg.tpu.balance_slabs,
+            # LPT slab balancing permutes node blocks WITHOUT regard to
+            # locality — measured at products scale it inflates every
+            # pair's boundary set to ~83% of the remote blocks (buffer
+            # 0.95x of all_gather, push never wins). Memory scaling needs
+            # the community order intact; slab imbalance is the lesser
+            # cost here (the demo is about the halo layout).
+            balance=False,
         )
         cfg.tpu.tile_size, cfg.tpu.tile_cols = tile_r, tile_c
         cfg.tpu.min_tile_nnz = min_nnz or 0

@@ -154,7 +154,12 @@ def _fwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref, st_ref, tt_ref,
         )
 
 
-def _fwd_tiles(tiles, trow, tcol, st_pad, v_pad, H, D, slope, n_rows):
+def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows):
+    """One forward sweep. ``st_row`` is indexed by the tiles' ROW blocks
+    (dest side, s at lanes [0:H]); ``st_col`` and ``v_pad`` by their COL
+    blocks (source side, t at lanes [H:2H]). Square packs pass the same
+    packed array twice; the mesh rect path passes the local rows' pack and
+    the halo buffer's pack."""
     T, tile_r, tile_c = tiles.shape
     hd_pad = v_pad.shape[1]
     kernel = partial(_fwd_kernel, H, D, slope)
@@ -191,7 +196,7 @@ def _fwd_tiles(tiles, trow, tcol, st_pad, v_pad, H, D, slope, n_rows):
             jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
         ],
         interpret=_INTERPRET[0],
-    )(trow, tcol, tiles, st_pad, st_pad, v_pad)
+    )(trow, tcol, tiles, st_row, st_col, v_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +327,169 @@ def _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, v_pad, g_pad, H, D, slope,
 
 
 # ---------------------------------------------------------------------------
+# rectangular backward kernels (mesh slabs: local dest rows x halo-buffer
+# source cols). The slab is NOT symmetric, so the fused mirror-trick kernel
+# above does not apply; instead two sweeps over the same tile set — the
+# row-sorted pack emits ds (dest side), a col-sorted copy emits dt/dv into
+# the buffer space (output revisiting needs consecutive identical block
+# indices, hence the second sort order).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_rect_row_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
+                         s_r_ref, t_c_ref, md_r_ref, v_c_ref, g_r_ref,
+                         ds_ref):
+    """Grid (T,), tiles sorted by ROW block. ds[rb] += row-sums of
+    A ⊙ (g_r·v_cᵀ − ρ_r) ⊙ leaky' — the forward orientation only."""
+    live = tiles_ref[0] != 0
+
+    @pl.when(_is_first_of_row(rows_ref))
+    def _():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+
+    v_c = v_c_ref[:].astype(jnp.float32)
+    g_r = g_r_ref[:].astype(jnp.float32)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        s_r = s_r_ref[:, h : h + 1]
+        t_c = t_c_ref[:, H + h : H + h + 1]
+        m_r = md_r_ref[:, h : h + 1]
+        den_r = jnp.maximum(md_r_ref[:, H + h : H + h + 1], 1e-16)
+        rho_r = md_r_ref[:, 2 * H + h : 2 * H + h + 1]
+        pre = s_r + t_c.T
+        e_f = jnp.where(live, _leaky(pre, slope), _NEG)
+        a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
+        dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
+                        preferred_element_type=jnp.float32)
+        d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
+        ds_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=1, keepdims=True)
+
+
+def _bwd_rect_col_kernel(H, D, slope, cols_ref, rows_ref, tiles_ref,
+                         s_r_ref, t_c_ref, md_r_ref, v_c_ref, g_r_ref,
+                         dv_ref, dt_ref):
+    """Grid (T,), tiles sorted by COL block (rows_ref/cols_ref carry that
+    order). Source-side sums: dt[cb] += col-sums of the SAME jacobian term,
+    dv[cb] += Aᵀ·g_r — stats stay dest-side (md at the tile's row block)."""
+    live = tiles_ref[0] != 0
+
+    @pl.when(_is_first_of_row(cols_ref))
+    def _():
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+        dt_ref[:] = jnp.zeros_like(dt_ref)
+
+    v_c = v_c_ref[:].astype(jnp.float32)
+    g_r = g_r_ref[:].astype(jnp.float32)
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        s_r = s_r_ref[:, h : h + 1]
+        t_c = t_c_ref[:, H + h : H + h + 1]
+        m_r = md_r_ref[:, h : h + 1]
+        den_r = jnp.maximum(md_r_ref[:, H + h : H + h + 1], 1e-16)
+        rho_r = md_r_ref[:, 2 * H + h : 2 * H + h + 1]
+        pre = s_r + t_c.T
+        e_f = jnp.where(live, _leaky(pre, slope), _NEG)
+        a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
+        dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
+                        preferred_element_type=jnp.float32)
+        d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
+        dt_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=0, keepdims=True).T
+        dv_ref[:, sl] += jnp.dot(a.T, g_r[:, sl],
+                                 preferred_element_type=jnp.float32)
+
+
+def _bwd_rect(tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
+              s_row, t_col, md_row, v_col, g_row, H, D, slope,
+              n_rows, n_cols):
+    """The two rect backward sweeps. Row-sorted pack (tiles_r/trow_r/tcol_r)
+    -> ds [n_rows, _LANE]; col-sorted copy (tiles_c/...) -> (dv, dt) in the
+    source/buffer space [n_cols, ...]. Both packs must COVER their output
+    block range (zero tiles for untouched blocks — gat_mesh_pack ensures it;
+    uncovered output blocks would keep uninitialized HBM)."""
+    T, tile_r, tile_c = tiles_r.shape
+    hd_pad = v_col.shape[1]
+
+    ds = pl.pallas_call(
+        partial(_bwd_rect_row_kernel, H, D, slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, tile_r, tile_c),
+                             lambda t, rows, cols: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, _LANE),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, rows, cols: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, rows, cols: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32)],
+        interpret=_INTERPRET[0],
+    )(trow_r, tcol_r, tiles_r, s_row, t_col, md_row, v_col, g_row)[0]
+
+    T_c = tiles_c.shape[0]
+    dv, dt = pl.pallas_call(
+        partial(_bwd_rect_col_kernel, H, D, slope),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # COLS first: _is_first_of_row keys on it
+            grid=(T_c,),
+            in_specs=[
+                pl.BlockSpec((1, tile_r, tile_c),
+                             lambda t, cols, rows: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, cols, rows: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, _LANE),
+                             lambda t, cols, rows: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, _LANE),
+                             lambda t, cols, rows: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, cols, rows: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_r, hd_pad),
+                             lambda t, cols, rows: (rows[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_c, hd_pad),
+                             lambda t, cols, rows: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, _LANE),
+                             lambda t, cols, rows: (cols[t], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_cols, hd_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_cols, _LANE), jnp.float32),
+        ],
+        interpret=_INTERPRET[0],
+    )(tcol_c, trow_c, tiles_c, s_row, t_col, md_row, v_col, g_row)
+
+    return ds, dt, dv
+
+
+# ---------------------------------------------------------------------------
 # the differentiable op: tiles (+ optional COO residual) -> softmax-attended
 # aggregation, custom VJP in (s, t, v)
 # ---------------------------------------------------------------------------
@@ -356,7 +524,8 @@ def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
         v_pad, v.reshape(n, H * D).astype(jnp.float32), (0, 0)
     )
     st_pad = _pack_st(s, t)
-    acc_t, stat = _fwd_tiles(tiles, trow, tcol, st_pad, v_pad, H, D, slope, n)
+    acc_t, stat = _fwd_tiles(tiles, trow, tcol, st_pad, st_pad, v_pad,
+                             H, D, slope, n)
     m_t, den_t = stat[:, 0:H], stat[:, H : 2 * H]
     acc_t = acc_t[:, : H * D].reshape(n, H, D)
 
