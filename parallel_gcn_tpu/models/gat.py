@@ -117,10 +117,13 @@ class GATModel:
 
     Mirrors GCNModel's trainer contract (n_layers/dropouts/apply signature);
     ``backend`` ∈ {dense, segment, tile} picks the attention aggregation
-    path (``tile`` needs a bcsr/hybrid-built graph and attn_dropout == 0 —
-    build_model enforces both at config time).
+    path (``tile`` needs a bcsr/hybrid-built graph — build_model enforces it
+    at config time).
     ``attn_dropout`` drops normalized attention coefficients during training
-    (paper §3.3 applies 0.6 on the citation datasets)."""
+    (paper §3.3 applies 0.6 on the citation datasets). On the tile backend
+    the mask is the kernels' stateless per-edge hash (see
+    ops/tile_attention.gat_attend_tiles) instead of a jax.random stream —
+    different draws, the same bernoulli(keep)/keep semantics."""
 
     n_layers: int
     dropouts: tuple[float, ...]
@@ -159,9 +162,16 @@ class GATModel:
     def _attend_tile(self, graph, hw3, s, t, akey, training):
         from parallel_gcn_tpu.ops.tile_attention import gat_attend_tiles
 
-        del akey  # attn_dropout == 0 with this backend (build_model enforces)
+        rate = self.attn_dropout if training else 0.0
+        seed = None
+        if rate > 0.0:
+            # the kernels' stateless per-edge hash mask needs one int32 seed
+            # per layer application — derived from this layer's attention key
+            seed = jax.random.randint(akey, (), 0, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32)
         return gat_attend_tiles(
-            graph, s, t, hw3, slope=LEAKY_SLOPE
+            graph, s, t, hw3, slope=LEAKY_SLOPE,
+            attn_dropout=float(rate), seed=seed,
         ).astype(hw3.dtype)
 
     def _attend_segment(self, graph, hw3, s, t, akey, training):
@@ -282,10 +292,6 @@ class GATModel:
         elif self.backend == "tile":
             assert graph.bcsr is not None, (
                 "GAT tile backend needs a bcsr/hybrid-built graph"
-            )
-            assert self.attn_dropout == 0.0, (
-                "attn_dropout is not implemented for the tile backend — "
-                "use backend=segment (build_model routes this at config time)"
             )
         else:
             assert graph.coo_complete, (

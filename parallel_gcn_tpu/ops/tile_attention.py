@@ -30,6 +30,12 @@ streaming kernel pass, flash-attention style:
 No [T, tile_r, tile_c] score tensor is ever materialized — residuals are the
 O(N·H) statistics, so reddit-scale attention fits HBM without remat tricks.
 
+The op ships in two forms: ``gat_attend_tiles`` (single chip, square
+symmetric packs, mirror-trick backward) and ``gat_attend_rect`` (mesh slabs:
+local dest rows × the compact halo buffer, packs from
+parallel.partition.gat_mesh_pack, two-sweep rect backward) — the sharded
+path parallel/train_parallel routes model=gat backend=hybrid through.
+
 Reference: the GAT family itself is beyond-reference surface (the CUDA
 reference is GCN-only, src/gcn.cu); the kernel design follows the house SpMM
 (src/module.cu:172-186's hand-written no-cuSPARSE analog).
@@ -100,6 +106,52 @@ def _is_first_of_row(rows_ref):
     return jnp.where(t == 0, True, rows_ref[t] != rows_ref[jnp.maximum(t - 1, 0)])
 
 
+# ---------------------------------------------------------------------------
+# attention dropout — stateless per-edge hash mask
+#
+# The flash-style sweep cannot drop the NORMALIZED α (the denominator is not
+# known until the sweep ends), so dropout applies to the numerator terms with
+# the UNDROPPED denominator — exactly α̃ = mask ⊙ α / keep, the same semantics
+# as models/gat.py's chunked segment path (and the paper's dropped-α up to
+# the keep-scaling). The mask is a pure function of (dest id, src id, head,
+# seed) via a murmur3-style integer mix, so the forward kernel, both backward
+# sweeps (including the MIRROR orientation, which sees the edge transposed),
+# and the COO residual paths all regenerate the identical mask with zero
+# saved state — the reference's Philox re-walk trick (src/module.cu:16-99)
+# without even a stream to walk.
+# ---------------------------------------------------------------------------
+
+
+def _hash_keep(dest, src, h: int, seed, threshold: int):
+    """Boolean keep-mask, broadcast over dest × src. ``dest``/``src`` are
+    integer id arrays (any broadcastable shapes), ``h`` a static head index,
+    ``seed`` a traced int32 scalar, ``threshold`` = round(keep·2³²)."""
+    k = (
+        dest.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + src.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        + jnp.uint32((h * 0xC2B2AE35) & 0xFFFFFFFF)
+        + seed.astype(jnp.uint32)
+    )
+    k = k ^ (k >> 16)
+    k = k * jnp.uint32(0x7FEB352D)
+    k = k ^ (k >> 15)
+    k = k * jnp.uint32(0x846CA68B)
+    k = k ^ (k >> 16)
+    return k < jnp.uint32(threshold)
+
+
+def _rate_to_threshold(rate: float) -> int:
+    return min(int(round((1.0 - rate) * 2.0**32)), 2**32 - 1)
+
+
+def _edge_keep(rrow, rcol, H: int, seed, rate: float):
+    """[E, H] keep-mask for COO residual edges (dest=rrow, src=rcol ids)."""
+    thr = _rate_to_threshold(rate)
+    return jnp.stack(
+        [_hash_keep(rrow, rcol, h, seed, thr) for h in range(H)], axis=1
+    )
+
+
 def _leaky(x, slope):
     return jnp.where(x >= 0, x, slope * x)
 
@@ -113,13 +165,25 @@ def _leaky_grad(x, slope):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref, st_ref, tt_ref,
-                v_ref, acc_ref, stat_ref):
+def _tile_keep(rows_ref, cols_ref, seed_ref, t, h, R, C, tile_r, tile_c,
+               rate):
+    """[R, C] keep-mask for grid step ``t``'s tile from the GLOBAL dest/src
+    ids (row block · tile_r + sublane, col block · tile_c + lane)."""
+    dest = rows_ref[t] * tile_r + jax.lax.broadcasted_iota(
+        jnp.int32, (R, C), 0)
+    src = cols_ref[t] * tile_c + jax.lax.broadcasted_iota(
+        jnp.int32, (R, C), 1)
+    return _hash_keep(dest, src, h, seed_ref[0], _rate_to_threshold(rate))
+
+
+def _fwd_kernel(H, D, slope, rate, rows_ref, cols_ref, seed_ref, tiles_ref,
+                st_ref, tt_ref, v_ref, acc_ref, stat_ref):
     """Grid (T,). Per step: the pattern tile [R, C], the DEST-row block of the
     packed [s‖t] array (st_ref, [R, 128]), the SOURCE-col block (tt_ref,
     [C, 128]) and the source block of v ([C, HDpad]). Outputs revisit per
     tile-row span: acc [R, HDpad] (numerator), stat [R, 128] (m at [0:H],
-    den at [H:2H]) — both f32, finalized (merge + divide) by the caller."""
+    den at [H:2H]) — both f32, finalized (merge + divide) by the caller.
+    ``rate`` > 0: attention dropout on the numerator terms (hash mask)."""
     live = tiles_ref[0] != 0  # [R, C] edge pattern (any tile dtype)
 
     @pl.when(_is_first_of_row(rows_ref))
@@ -130,6 +194,9 @@ def _fwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref, st_ref, tt_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, stat_ref.shape, 1)
         stat_ref[:] = jnp.where(lane < H, _NEG, 0.0)
 
+    t_id = pl.program_id(0)
+    R, C = live.shape
+    tile_r, tile_c = tiles_ref.shape[1], tiles_ref.shape[2]
     v = v_ref[:].astype(jnp.float32)
     for h in range(H):
         s_h = st_ref[:, h : h + 1].astype(jnp.float32)        # [R, 1] dest
@@ -148,13 +215,19 @@ def _fwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref, st_ref, tt_ref,
             den_old * scale + jnp.sum(w, axis=1, keepdims=True)
         )
         stat_ref[:, h : h + 1] = m_new
+        wn = w
+        if rate > 0.0:
+            keep = _tile_keep(rows_ref, cols_ref, seed_ref, t_id, h,
+                              R, C, tile_r, tile_c, rate)
+            wn = jnp.where(keep, w * (1.0 / (1.0 - rate)), 0.0)
         acc = acc_ref[:, h * D : (h + 1) * D]
         acc_ref[:, h * D : (h + 1) * D] = acc * scale + jnp.dot(
-            w, v[:, h * D : (h + 1) * D], preferred_element_type=jnp.float32
+            wn, v[:, h * D : (h + 1) * D], preferred_element_type=jnp.float32
         )
 
 
-def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows):
+def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows,
+               rate=0.0, seed=None):
     """One forward sweep. ``st_row`` is indexed by the tiles' ROW blocks
     (dest side, s at lanes [0:H]); ``st_col`` and ``v_pad`` by their COL
     blocks (source side, t at lanes [H:2H]). Square packs pass the same
@@ -162,32 +235,34 @@ def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows):
     the halo buffer's pack."""
     T, tile_r, tile_c = tiles.shape
     hd_pad = v_pad.shape[1]
-    kernel = partial(_fwd_kernel, H, D, slope)
+    kernel = partial(_fwd_kernel, H, D, slope, rate)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # trow, tcol
+            num_scalar_prefetch=3,  # trow, tcol, seed
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, tile_r, tile_c),
-                             lambda t, rows, cols: (t, 0, 0),
+                             lambda t, rows, cols, seed: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, _LANE),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -196,7 +271,8 @@ def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows):
             jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
         ],
         interpret=_INTERPRET[0],
-    )(trow, tcol, tiles, st_row, st_col, v_pad)
+    )(trow, tcol, seed.reshape(1).astype(jnp.int32), tiles, st_row, st_col,
+      v_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +280,7 @@ def _fwd_tiles(tiles, trow, tcol, st_row, st_col, v_pad, H, D, slope, n_rows):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
+def _bwd_kernel(H, D, slope, rate, rows_ref, cols_ref, seed_ref, tiles_ref,
                 st_r_ref, st_c_ref, md_r_ref, md_c_ref,
                 v_r_ref, v_c_ref, g_r_ref, g_c_ref,
                 dv_ref, dst_ref):
@@ -212,11 +288,14 @@ def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
     the MIRRORED-orientation block A' (dest rows in cb, source rows in rb —
     valid because the packed edge set is symmetric), then
 
-        ds[rb] += Σ_c  A ⊙ (g_rb·v_cbᵀ − ρ_rb) ⊙ leaky'        (row sums)
-        dt[rb] += Σ_c  A' ⊙ (v_rb·g_cbᵀ − ρ_cb) ⊙ leaky'       (mirror rows)
-        dv[rb] += A' · g_cb                                     (mirror SpMM)
+        ds[rb] += Σ_c  A ⊙ (m̃ ⊙ g_rb·v_cbᵀ − ρ_rb) ⊙ leaky'   (row sums)
+        dt[rb] += Σ_c  A' ⊙ (m̃' ⊙ v_rb·g_cbᵀ − ρ_cb) ⊙ leaky'  (mirror rows)
+        dv[rb] += (A' ⊙ m̃') · g_cb                              (mirror SpMM)
 
-    md_* packs [m ‖ den ‖ ρ] at lanes [0:H], [H:2H], [2H:3H]."""
+    md_* packs [m ‖ den ‖ ρ] at lanes [0:H], [H:2H], [2H:3H]. With attention
+    dropout (rate > 0) m̃ is the hash keep-mask / keep; the MIRROR mask m̃' is
+    the same hash evaluated with dest/src swapped (the mirror edge's own
+    ids) — regenerated, never stored."""
     live = tiles_ref[0] != 0  # [R, C]
 
     @pl.when(_is_first_of_row(rows_ref))
@@ -224,6 +303,9 @@ def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
         dv_ref[:] = jnp.zeros_like(dv_ref)
         dst_ref[:] = jnp.zeros_like(dst_ref)
 
+    t_id = pl.program_id(0)
+    R, C = live.shape
+    tile_r, tile_c = tiles_ref.shape[1], tiles_ref.shape[2]
     v_r = v_r_ref[:].astype(jnp.float32)
     v_c = v_c_ref[:].astype(jnp.float32)
     g_r = g_r_ref[:].astype(jnp.float32)
@@ -250,6 +332,10 @@ def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
         a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
         dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
                         preferred_element_type=jnp.float32)   # [R, C]
+        if rate > 0.0:
+            keep = _tile_keep(rows_ref, cols_ref, seed_ref, t_id, h,
+                              R, C, tile_r, tile_c, rate)
+            dot_a = jnp.where(keep, dot_a * (1.0 / (1.0 - rate)), 0.0)
         d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
         dst_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=1, keepdims=True)
 
@@ -261,59 +347,73 @@ def _bwd_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
         a_m = jnp.where(live, jnp.exp(e_m - m_c.T) / den_c.T, 0.0)
         dot_b = jnp.dot(v_r[:, sl], g_c[:, sl].T,
                         preferred_element_type=jnp.float32)   # [R, C]
+        if rate > 0.0:
+            # the mirror edge's OWN ids: dest = cb-col id, src = rb-row id
+            dest_m = cols_ref[t_id] * tile_c + jax.lax.broadcasted_iota(
+                jnp.int32, (R, C), 1)
+            src_m = rows_ref[t_id] * tile_r + jax.lax.broadcasted_iota(
+                jnp.int32, (R, C), 0)
+            keep_m = _hash_keep(dest_m, src_m, h, seed_ref[0],
+                                _rate_to_threshold(rate))
+            dot_b = jnp.where(keep_m, dot_b * (1.0 / (1.0 - rate)), 0.0)
+            a_mn = jnp.where(keep_m, a_m * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            a_mn = a_m
         d_mir = a_m * (dot_b - rho_c.T) * _leaky_grad(pre_m, slope)
         dst_ref[:, H + h : H + h + 1] += jnp.sum(d_mir, axis=1, keepdims=True)
 
-        dv_ref[:, sl] += jnp.dot(a_m, g_c[:, sl],
+        dv_ref[:, sl] += jnp.dot(a_mn, g_c[:, sl],
                                  preferred_element_type=jnp.float32)
 
 
 def _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, v_pad, g_pad, H, D, slope,
-               n_rows):
+               n_rows, rate=0.0, seed=None):
     T, tile_r, tile_c = tiles.shape
     hd_pad = v_pad.shape[1]
-    kernel = partial(_bwd_kernel, H, D, slope)
+    kernel = partial(_bwd_kernel, H, D, slope, rate)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
 
     def rb(shape_r):
         return pl.BlockSpec((shape_r, _LANE),
-                            lambda t, rows, cols: (rows[t], 0),
+                            lambda t, rows, cols, seed: (rows[t], 0),
                             memory_space=pltpu.VMEM)
 
     def cb(shape_c):
         return pl.BlockSpec((shape_c, _LANE),
-                            lambda t, rows, cols: (cols[t], 0),
+                            lambda t, rows, cols, seed: (cols[t], 0),
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, tile_r, tile_c),
-                             lambda t, rows, cols: (t, 0, 0),
+                             lambda t, rows, cols, seed: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 rb(tile_r), cb(tile_c),          # st at rb / cb
                 rb(tile_r), cb(tile_c),          # m‖den‖ρ at rb / cb
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -322,8 +422,8 @@ def _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, v_pad, g_pad, H, D, slope,
             jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32),
         ],
         interpret=_INTERPRET[0],
-    )(trow, tcol, tiles, st_pad, st_pad, md_pad, md_pad, v_pad, v_pad,
-      g_pad, g_pad)
+    )(trow, tcol, seed.reshape(1).astype(jnp.int32), tiles, st_pad, st_pad,
+      md_pad, md_pad, v_pad, v_pad, g_pad, g_pad)
 
 
 # ---------------------------------------------------------------------------
@@ -336,17 +436,20 @@ def _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, v_pad, g_pad, H, D, slope,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_rect_row_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
-                         s_r_ref, t_c_ref, md_r_ref, v_c_ref, g_r_ref,
-                         ds_ref):
+def _bwd_rect_row_kernel(H, D, slope, rate, rows_ref, cols_ref, seed_ref,
+                         tiles_ref, s_r_ref, t_c_ref, md_r_ref, v_c_ref,
+                         g_r_ref, ds_ref):
     """Grid (T,), tiles sorted by ROW block. ds[rb] += row-sums of
-    A ⊙ (g_r·v_cᵀ − ρ_r) ⊙ leaky' — the forward orientation only."""
+    A ⊙ (m̃ ⊙ g_r·v_cᵀ − ρ_r) ⊙ leaky' — the forward orientation only."""
     live = tiles_ref[0] != 0
 
     @pl.when(_is_first_of_row(rows_ref))
     def _():
         ds_ref[:] = jnp.zeros_like(ds_ref)
 
+    t_id = pl.program_id(0)
+    R, C = live.shape
+    tile_r, tile_c = tiles_ref.shape[1], tiles_ref.shape[2]
     v_c = v_c_ref[:].astype(jnp.float32)
     g_r = g_r_ref[:].astype(jnp.float32)
     for h in range(H):
@@ -361,16 +464,21 @@ def _bwd_rect_row_kernel(H, D, slope, rows_ref, cols_ref, tiles_ref,
         a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
         dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
                         preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _tile_keep(rows_ref, cols_ref, seed_ref, t_id, h,
+                              R, C, tile_r, tile_c, rate)
+            dot_a = jnp.where(keep, dot_a * (1.0 / (1.0 - rate)), 0.0)
         d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
         ds_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=1, keepdims=True)
 
 
-def _bwd_rect_col_kernel(H, D, slope, cols_ref, rows_ref, tiles_ref,
-                         s_r_ref, t_c_ref, md_r_ref, v_c_ref, g_r_ref,
-                         dv_ref, dt_ref):
+def _bwd_rect_col_kernel(H, D, slope, rate, cols_ref, rows_ref, seed_ref,
+                         tiles_ref, s_r_ref, t_c_ref, md_r_ref, v_c_ref,
+                         g_r_ref, dv_ref, dt_ref):
     """Grid (T,), tiles sorted by COL block (rows_ref/cols_ref carry that
     order). Source-side sums: dt[cb] += col-sums of the SAME jacobian term,
-    dv[cb] += Aᵀ·g_r — stats stay dest-side (md at the tile's row block)."""
+    dv[cb] += (A ⊙ m̃)ᵀ·g_r — stats stay dest-side (md at the tile's row
+    block)."""
     live = tiles_ref[0] != 0
 
     @pl.when(_is_first_of_row(cols_ref))
@@ -378,6 +486,9 @@ def _bwd_rect_col_kernel(H, D, slope, cols_ref, rows_ref, tiles_ref,
         dv_ref[:] = jnp.zeros_like(dv_ref)
         dt_ref[:] = jnp.zeros_like(dt_ref)
 
+    t_id = pl.program_id(0)
+    R, C = live.shape
+    tile_r, tile_c = tiles_ref.shape[1], tiles_ref.shape[2]
     v_c = v_c_ref[:].astype(jnp.float32)
     g_r = g_r_ref[:].astype(jnp.float32)
     for h in range(H):
@@ -392,15 +503,24 @@ def _bwd_rect_col_kernel(H, D, slope, cols_ref, rows_ref, tiles_ref,
         a = jnp.where(live, jnp.exp(e_f - m_r) / den_r, 0.0)
         dot_a = jnp.dot(g_r[:, sl], v_c[:, sl].T,
                         preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            # same mask as the row sweep: ids come from the tile's OWN
+            # (row block, col block), invariant to the pack's sort order
+            keep = _tile_keep(rows_ref, cols_ref, seed_ref, t_id, h,
+                              R, C, tile_r, tile_c, rate)
+            dot_a = jnp.where(keep, dot_a * (1.0 / (1.0 - rate)), 0.0)
+            an = jnp.where(keep, a * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            an = a
         d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
         dt_ref[:, h : h + 1] += jnp.sum(d_fwd, axis=0, keepdims=True).T
-        dv_ref[:, sl] += jnp.dot(a.T, g_r[:, sl],
+        dv_ref[:, sl] += jnp.dot(an.T, g_r[:, sl],
                                  preferred_element_type=jnp.float32)
 
 
 def _bwd_rect(tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
               s_row, t_col, md_row, v_col, g_row, H, D, slope,
-              n_rows, n_cols):
+              n_rows, n_cols, rate=0.0, seed=None):
     """The two rect backward sweeps. Row-sorted pack (tiles_r/trow_r/tcol_r)
     -> ds [n_rows, _LANE]; col-sorted copy (tiles_c/...) -> (dv, dt) in the
     source/buffer space [n_cols, ...]. Both packs must COVER their output
@@ -408,74 +528,77 @@ def _bwd_rect(tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
     uncovered output blocks would keep uninitialized HBM)."""
     T, tile_r, tile_c = tiles_r.shape
     hd_pad = v_col.shape[1]
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    seed = seed.reshape(1).astype(jnp.int32)
 
     ds = pl.pallas_call(
-        partial(_bwd_rect_row_kernel, H, D, slope),
+        partial(_bwd_rect_row_kernel, H, D, slope, rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,  # trow, tcol, seed
             grid=(T,),
             in_specs=[
                 pl.BlockSpec((1, tile_r, tile_c),
-                             lambda t, rows, cols: (t, 0, 0),
+                             lambda t, rows, cols, seed: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, _LANE),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, rows, cols: (cols[t], 0),
+                             lambda t, rows, cols, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, rows, cols: (rows[t], 0),
+                             lambda t, rows, cols, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((n_rows, _LANE), jnp.float32)],
         interpret=_INTERPRET[0],
-    )(trow_r, tcol_r, tiles_r, s_row, t_col, md_row, v_col, g_row)[0]
+    )(trow_r, tcol_r, seed, tiles_r, s_row, t_col, md_row, v_col, g_row)[0]
 
     T_c = tiles_c.shape[0]
     dv, dt = pl.pallas_call(
-        partial(_bwd_rect_col_kernel, H, D, slope),
+        partial(_bwd_rect_col_kernel, H, D, slope, rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # COLS first: _is_first_of_row keys on it
+            num_scalar_prefetch=3,  # COLS first: _is_first_of_row keys on it
             grid=(T_c,),
             in_specs=[
                 pl.BlockSpec((1, tile_r, tile_c),
-                             lambda t, cols, rows: (t, 0, 0),
+                             lambda t, cols, rows, seed: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, cols, rows: (rows[t], 0),
+                             lambda t, cols, rows, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, _LANE),
-                             lambda t, cols, rows: (cols[t], 0),
+                             lambda t, cols, rows, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, _LANE),
-                             lambda t, cols, rows: (rows[t], 0),
+                             lambda t, cols, rows, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, cols, rows: (cols[t], 0),
+                             lambda t, cols, rows, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_r, hd_pad),
-                             lambda t, cols, rows: (rows[t], 0),
+                             lambda t, cols, rows, seed: (rows[t], 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((tile_c, hd_pad),
-                             lambda t, cols, rows: (cols[t], 0),
+                             lambda t, cols, rows, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((tile_c, _LANE),
-                             lambda t, cols, rows: (cols[t], 0),
+                             lambda t, cols, rows, seed: (cols[t], 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
@@ -484,7 +607,7 @@ def _bwd_rect(tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
             jax.ShapeDtypeStruct((n_cols, _LANE), jnp.float32),
         ],
         interpret=_INTERPRET[0],
-    )(tcol_c, trow_c, tiles_c, s_row, t_col, md_row, v_col, g_row)
+    )(tcol_c, trow_c, seed, tiles_c, s_row, t_col, md_row, v_col, g_row)
 
     return ds, dt, dv
 
@@ -514,9 +637,17 @@ def _pack_st(s, t):
     )
 
 
-def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+def _pack_lane(x, offset):
+    """[n, H] -> [n, _LANE] f32 with ``x`` at lanes [offset, offset+H)."""
+    n = x.shape[0]
+    out = jnp.zeros((n, _LANE), jnp.float32)
+    return jax.lax.dynamic_update_slice(out, x.astype(jnp.float32),
+                                        (0, offset))
+
+
+def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, seed, spec):
     """Forward evaluation; returns (out [n, H, D] f32, m, den [n, H])."""
-    H, D, slope, has_res = spec
+    H, D, slope, has_res, rate = spec
     n = v.shape[0]
     hd_pad = _pad_lane(H * D)
     v_pad = jnp.zeros((n, hd_pad), jnp.float32)
@@ -525,7 +656,7 @@ def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
     )
     st_pad = _pack_st(s, t)
     acc_t, stat = _fwd_tiles(tiles, trow, tcol, st_pad, st_pad, v_pad,
-                             H, D, slope, n)
+                             H, D, slope, n, rate=rate, seed=seed)
     m_t, den_t = stat[:, 0:H], stat[:, H : 2 * H]
     acc_t = acc_t[:, : H * D].reshape(n, H, D)
 
@@ -539,8 +670,15 @@ def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
         (m_e,) = _gather_stats(m, idx=rrow)  # fenced: see _gather_stats
         e_r = jnp.where(rlive, _leaky(sf[rrow] + tf[rcol], slope), _NEG)
         w_r = jnp.where(rlive, jnp.exp(e_r - m_e), 0.0)
+        wn_r = w_r
+        if rate > 0.0:
+            # same (dest, src, head, seed) hash the kernels evaluate — an
+            # edge's mask is identical whether it rides a tile or the COO
+            # residual (the hybrid split is layout, not semantics)
+            keep_r = _edge_keep(rrow, rcol, H, seed[0], rate)
+            wn_r = jnp.where(keep_r, w_r * (1.0 / (1.0 - rate)), 0.0)
         num_r = jax.ops.segment_sum(
-            w_r[:, :, None] * v.astype(jnp.float32)[rcol], rrow,
+            wn_r[:, :, None] * v.astype(jnp.float32)[rcol], rrow,
             num_segments=n, indices_are_sorted=True,
         )
         scale_t = jnp.exp(m_t - m)
@@ -554,22 +692,25 @@ def _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
     return out, m, den
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
-def _gat_attend(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+@partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _gat_attend(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, seed, spec):
     out, _, _ = _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive,
-                             spec)
+                             seed, spec)
     return out
 
 
-def _gat_attend_fwd(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, spec):
+def _gat_attend_fwd(s, t, v, tiles, trow, tcol, rrow, rcol, rlive, seed,
+                    spec):
     out, m, den = _attend_impl(s, t, v, tiles, trow, tcol, rrow, rcol, rlive,
-                               spec)
-    return out, (s, t, v, tiles, trow, tcol, rrow, rcol, rlive, m, den, out)
+                               seed, spec)
+    return out, (s, t, v, tiles, trow, tcol, rrow, rcol, rlive, seed, m, den,
+                 out)
 
 
 def _gat_attend_bwd(spec, res, g):
-    H, D, slope, has_res = spec
-    s, t, v, tiles, trow, tcol, rrow, rcol, rlive, m, den, out = res
+    H, D, slope, has_res, rate = spec
+    (s, t, v, tiles, trow, tcol, rrow, rcol, rlive, seed, m, den,
+     out) = res
     n = v.shape[0]
     g = g.astype(jnp.float32)
     v32 = v.astype(jnp.float32)
@@ -589,13 +730,14 @@ def _gat_attend_bwd(spec, res, g):
         md_pad, jnp.concatenate([m, den, rho], axis=1), (0, 0)
     )
     dv_t, dst = _bwd_tiles(tiles, trow, tcol, st_pad, md_pad, pad_hd(v32),
-                           pad_hd(g), H, D, slope, n)
+                           pad_hd(g), H, D, slope, n, rate=rate, seed=seed)
     dv = dv_t[:, : H * D].reshape(n, H, D)
     ds = dst[:, 0:H]
     dt = dst[:, H : 2 * H]
 
     if has_res:
         den_g = jnp.maximum(den, 1e-16)
+        inv_keep = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
         # forward orientation (dest = rrow): ds. Logits masked to _NEG before
         # the exp — padding edges point at padding rows whose m is _NEG, and
         # an unmasked exp(pre - m) overflows (same hazard as in the kernel).
@@ -605,6 +747,9 @@ def _gat_attend_bwd(spec, res, g):
         e_f = jnp.where(rlive, _leaky(pre, slope), _NEG)
         a = jnp.where(rlive, jnp.exp(e_f - m_r) / den_r, 0.0)
         dot_a = jnp.sum(g[rrow] * v32[rcol], axis=-1)
+        if rate > 0.0:
+            keep_f = _edge_keep(rrow, rcol, H, seed[0], rate)
+            dot_a = jnp.where(keep_f, dot_a * inv_keep, 0.0)
         d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
         ds = ds + jax.ops.segment_sum(d_fwd, rrow, num_segments=n,
                                       indices_are_sorted=True)
@@ -616,26 +761,43 @@ def _gat_attend_bwd(spec, res, g):
         e_m = jnp.where(rlive, _leaky(pre_m, slope), _NEG)
         a_m = jnp.where(rlive, jnp.exp(e_m - m_c) / den_c, 0.0)
         dot_b = jnp.sum(g[rcol] * v32[rrow], axis=-1)
+        if rate > 0.0:
+            # the mirror edge's OWN ids: dest = rcol, src = rrow
+            keep_m = _edge_keep(rcol, rrow, H, seed[0], rate)
+            dot_b = jnp.where(keep_m, dot_b * inv_keep, 0.0)
+            a_mn = jnp.where(keep_m, a_m * inv_keep, 0.0)
+        else:
+            a_mn = a_m
         d_mir = a_m * (dot_b - rho_c) * _leaky_grad(pre_m, slope)
         dt = dt + jax.ops.segment_sum(d_mir, rrow, num_segments=n,
                                       indices_are_sorted=True)
-        dv = dv + jax.ops.segment_sum(a_m[:, :, None] * g[rcol], rrow,
+        dv = dv + jax.ops.segment_sum(a_mn[:, :, None] * g[rcol], rrow,
                                       num_segments=n, indices_are_sorted=True)
 
     return (ds.astype(s.dtype), dt.astype(t.dtype), dv.astype(v.dtype),
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None)
 
 
 _gat_attend.defvjp(_gat_attend_fwd, _gat_attend_bwd)
 
 
-def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
+def gat_attend_tiles(graph, s, t, v, *, slope: float,
+                     attn_dropout: float = 0.0,
+                     seed=None) -> jnp.ndarray:
     """Softmax attention aggregation over a tile-packed graph:
     ``out_i = Σ_j softmax_j(LeakyReLU(s_i + t_j)) · v_j`` for j in N(i)∪{i},
     the edge set being the BCSR pattern plus (hybrid builds) the COO residual.
 
     s, t: [n_nodes, heads] logit halves; v: [n_nodes, heads, d].
     Returns [n_nodes, heads, d] float32. Differentiable in s, t, v.
+
+    ``attn_dropout`` > 0 (training only — callers gate on it) drops the
+    normalized coefficients: the numerator terms are masked with the
+    UNDROPPED denominator (α̃ = mask ⊙ α / keep — models/gat.py's segment
+    semantics). The mask is the stateless per-edge hash of
+    (dest, src, head, ``seed``) — regenerated identically inside the forward
+    kernel, both backward sweeps, and the COO residual paths, never stored.
+    ``seed``: int32 scalar (array or python int), required when the rate > 0.
 
     Requirements (asserted): a tile pack on the graph; a SYMMETRIC edge set
     (the repo invariant — split_dense_tiles enforces it for hybrid splits,
@@ -647,6 +809,12 @@ def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
     assert v.shape[:2] == (n, H) and t.shape == (n, H)
     assert 3 * H <= _LANE, f"heads={H} exceeds the packed-statistics lanes"
     assert n == pack.n_nodes, (n, pack.n_nodes)
+    rate = float(attn_dropout)
+    assert 0.0 <= rate < 1.0, rate
+    if rate > 0.0:
+        assert seed is not None, "attn_dropout > 0 needs a seed"
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1))
     tiles, trow, tcol = _split_wide(pack.tiles, pack.tile_rows,
                                     pack.tile_cols)
     has_res = bool(graph.is_hybrid)
@@ -661,5 +829,188 @@ def gat_attend_tiles(graph, s, t, v, *, slope: float) -> jnp.ndarray:
     D = v.shape[2]
     return _gat_attend(
         s, t, v, tiles, trow, tcol,
-        rrow, rcol, rlive, (H, D, float(slope), has_res),
+        rrow, rcol, rlive, seed_arr, (H, D, float(slope), has_res, rate),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the rect differentiable op: mesh slab attention (local dest rows × compact
+# halo-buffer source cols). Packs come from parallel.partition.gat_mesh_pack;
+# callers run this per device inside shard_map and let autodiff transpose the
+# surrounding halo exchange (the op's (dt, dv) cotangents live in BUFFER
+# space; _gather_buffer's AD ships the halo part back to its owners).
+# ---------------------------------------------------------------------------
+
+
+def _pad_hd(x3, hd_pad):
+    n = x3.shape[0]
+    buf = jnp.zeros((n, hd_pad), jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        buf, x3.reshape(n, -1).astype(jnp.float32), (0, 0)
+    )
+
+
+def _attend_rect_impl(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                      rrow, rcol, rlive, seed, spec):
+    """Forward evaluation; returns (out [n_rows, H, D] f32, m, den)."""
+    H, D, slope, has_res, rate = spec
+    n_rows = s.shape[0]
+    n_buf = t_buf.shape[0]
+    hd_pad = _pad_lane(H * D)
+    v_pad = _pad_hd(v_buf, hd_pad)
+    st_row = _pack_lane(s, 0)
+    st_col = _pack_lane(t_buf, H)
+    acc_t, stat = _fwd_tiles(tiles_r, trow_r, tcol_r, st_row, st_col, v_pad,
+                             H, D, slope, n_rows, rate=rate, seed=seed)
+    m_t, den_t = stat[:, 0:H], stat[:, H : 2 * H]
+    acc_t = acc_t[:, : H * D].reshape(n_rows, H, D)
+
+    if has_res:
+        sf = s.astype(jnp.float32)
+        tf = t_buf.astype(jnp.float32)
+        m_r, den_r = _residual_stats(sf, tf, rrow, rcol, rlive, slope, n_rows)
+        m = jnp.maximum(m_t, m_r)
+        (m_e,) = _gather_stats(m, idx=rrow)  # fenced: see _gather_stats
+        e_r = jnp.where(rlive, _leaky(sf[rrow] + tf[rcol], slope), _NEG)
+        w_r = jnp.where(rlive, jnp.exp(e_r - m_e), 0.0)
+        wn_r = w_r
+        if rate > 0.0:
+            # same (LOCAL dest, BUFFER src) id spaces the rect kernels hash —
+            # an edge's mask is identical whether it rides a tile or the
+            # residual (both see rrow/tile-row-block local, rcol/buffer-block)
+            keep_r = _edge_keep(rrow, rcol, H, seed[0], rate)
+            wn_r = jnp.where(keep_r, w_r * (1.0 / (1.0 - rate)), 0.0)
+        num_r = jax.ops.segment_sum(
+            wn_r[:, :, None] * v_buf.astype(jnp.float32)[rcol], rrow,
+            num_segments=n_rows, indices_are_sorted=True,
+        )
+        scale_t = jnp.exp(m_t - m)
+        den = den_t * scale_t + jax.ops.segment_sum(
+            w_r, rrow, num_segments=n_rows, indices_are_sorted=True
+        )
+        acc = acc_t * scale_t[:, :, None] + num_r
+    else:
+        m, den, acc = m_t, den_t, acc_t
+    out = acc / jnp.maximum(den, 1e-16)[:, :, None]
+    return out, m, den
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(13,))
+def _gat_attend_rect(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                     tiles_c, trow_c, tcol_c, rrow, rcol, rlive, seed, spec):
+    out, _, _ = _attend_rect_impl(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                                  rrow, rcol, rlive, seed, spec)
+    return out
+
+
+def _gat_attend_rect_fwd(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                         tiles_c, trow_c, tcol_c, rrow, rcol, rlive, seed,
+                         spec):
+    out, m, den = _attend_rect_impl(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                                    rrow, rcol, rlive, seed, spec)
+    return out, (s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                 tiles_c, trow_c, tcol_c, rrow, rcol, rlive, seed, m, den,
+                 out)
+
+
+def _gat_attend_rect_bwd(spec, res, g):
+    H, D, slope, has_res, rate = spec
+    (s, t_buf, v_buf, tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
+     rrow, rcol, rlive, seed, m, den, out) = res
+    n_rows = s.shape[0]
+    n_buf = t_buf.shape[0]
+    g = g.astype(jnp.float32)
+    rho = jnp.sum(g * out, axis=-1)  # [n_rows, H]
+    hd_pad = _pad_lane(H * D)
+
+    st_row = _pack_lane(s, 0)
+    st_col = _pack_lane(t_buf, H)
+    md_row = jnp.zeros((n_rows, _LANE), jnp.float32)
+    md_row = jax.lax.dynamic_update_slice(
+        md_row, jnp.concatenate([m, den, rho], axis=1), (0, 0)
+    )
+    ds_p, dt_p, dv_p = _bwd_rect(
+        tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
+        st_row, st_col, md_row, _pad_hd(v_buf, hd_pad), _pad_hd(g, hd_pad),
+        H, D, slope, n_rows, n_buf, rate=rate, seed=seed,
+    )
+    ds = ds_p[:, 0:H]
+    dt = dt_p[:, 0:H]
+    dv = dv_p[:, : H * D].reshape(n_buf, H, D)
+
+    if has_res:
+        den_g = jnp.maximum(den, 1e-16)
+        sf = s.astype(jnp.float32)
+        tf = t_buf.astype(jnp.float32)
+        v32 = v_buf.astype(jnp.float32)
+        # forward orientation only: the slab is NOT symmetric, so dest-side
+        # sums ride the sorted rrow segment path while the source-side sums
+        # (dt, dv) scatter-add into the buffer space (small residual set).
+        # Logits masked to _NEG before the exp and gathered stats fenced —
+        # the same hazards as _gat_attend_bwd.
+        m_r, den_r, rho_r = _gather_stats(m, den_g, rho, idx=rrow)
+        pre = sf[rrow] + tf[rcol]
+        e_f = jnp.where(rlive, _leaky(pre, slope), _NEG)
+        a = jnp.where(rlive, jnp.exp(e_f - m_r) / den_r, 0.0)
+        dot_a = jnp.sum(g[rrow] * v32[rcol], axis=-1)
+        if rate > 0.0:
+            keep_f = _edge_keep(rrow, rcol, H, seed[0], rate)
+            dot_a = jnp.where(keep_f, dot_a * (1.0 / (1.0 - rate)), 0.0)
+            a_n = jnp.where(keep_f, a * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            a_n = a
+        d_fwd = a * (dot_a - rho_r) * _leaky_grad(pre, slope)
+        ds = ds + jax.ops.segment_sum(d_fwd, rrow, num_segments=n_rows,
+                                      indices_are_sorted=True)
+        dt = dt.at[rcol].add(d_fwd)
+        dv = dv.at[rcol].add(a_n[:, :, None] * g[rrow])
+
+    return (ds.astype(s.dtype), dt.astype(t_buf.dtype), dv.astype(v_buf.dtype),
+            None, None, None, None, None, None, None, None, None, None)
+
+
+_gat_attend_rect.defvjp(_gat_attend_rect_fwd, _gat_attend_rect_bwd)
+
+
+def gat_attend_rect(s, t_buf, v_buf, tiles_r, trow_r, tcol_r,
+                    tiles_c, trow_c, tcol_c, rrow, rcol, rval,
+                    *, slope: float, has_res: bool,
+                    attn_dropout: float = 0.0, seed=None) -> jnp.ndarray:
+    """Mesh-slab softmax attention: ``out_i = Σ_j α_ij v_j`` for local dest
+    rows i against the compact ``[local ; halo]`` source buffer (j ranges over
+    the slab's tile pattern + COO residual — every edge of i, because the
+    partition keeps a row's edges on its owner, so the softmax is complete).
+
+    s: [n_local, H]; t_buf: [n_buf, H]; v_buf: [n_buf, H, D]. Packs from
+    parallel.partition.gat_mesh_pack (row-sorted + col-sorted copies, both
+    output ranges zero-tile-covered, tile_c ≤ 512). Differentiable in
+    (s, t_buf, v_buf); the (dt, dv) cotangents are in buffer space — the
+    caller's halo exchange transposes them back to their owners via autodiff.
+
+    ``attn_dropout``/``seed``: the same stateless hash mask as
+    gat_attend_tiles, over (LOCAL dest id, BUFFER src id) — callers fold the
+    device index into the seed's key upstream so masks decorrelate across
+    shards (train_parallel's per-device key fold does).
+
+    Reference intent: SURVEY §2.4 SP/CP row (src/module.cu:172-210's
+    partition-every-aggregation treatment applied to the attention op)."""
+    n, H = s.shape
+    assert t_buf.shape[1] == H and v_buf.shape[:2] == (t_buf.shape[0], H)
+    assert 3 * H <= _LANE, f"heads={H} exceeds the packed-statistics lanes"
+    assert tiles_r.shape[2] <= _MAX_TILE_C, (
+        "gat_mesh_pack splits wide tiles; got tile_c="
+        f"{tiles_r.shape[2]} > {_MAX_TILE_C}"
+    )
+    rate = float(attn_dropout)
+    assert 0.0 <= rate < 1.0, rate
+    if rate > 0.0:
+        assert seed is not None, "attn_dropout > 0 needs a seed"
+    seed_arr = (jnp.zeros((1,), jnp.int32) if seed is None
+                else jnp.asarray(seed, jnp.int32).reshape(1))
+    rlive = (rval != 0.0)[:, None]
+    D = v_buf.shape[2]
+    return _gat_attend_rect(
+        s, t_buf, v_buf, tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
+        rrow, rcol, rlive, seed_arr,
+        (H, D, float(slope), bool(has_res), rate),
     )

@@ -769,6 +769,136 @@ def _hybrid_adaptive_split(g_trow, g_tcol, g_tiles, r_rows, r_cols, r_vals,
             (prow, pcol, pval), push_recv, int(H))
 
 
+@dataclass(frozen=True)
+class GATMeshPack:
+    """Per-device rect tile packs for the mesh GAT's fused attention
+    (ops/tile_attention.gat_attend_rect): local dest rows × the compact
+    ``[local ; halo]`` source buffer.
+
+    Derived from a HybridShardedGraph (gat_mesh_pack): the ROW-sorted pack is
+    the partition's slab (wide tiles view-split to ≤512 columns for the
+    attention kernels' VMEM budget), and a COL-sorted copy of the same tiles
+    drives the backward's source-side sweep — with zero tiles covering every
+    buffer block so both kernels' revisited outputs are always initialized.
+    The COO residual and the boundary exchange ride unchanged.
+    """
+
+    tiles_r: np.ndarray  # [n_dev, T, tile_r, tile_c] — sorted by trow_r
+    trow_r: np.ndarray   # int32 [n_dev, T] LOCAL tile-row ids, ascending
+    tcol_r: np.ndarray   # int32 [n_dev, T] buffer tile-col ids
+    tiles_c: np.ndarray  # [n_dev, Tc, tile_r, tile_c] — sorted by tcol_c
+    trow_c: np.ndarray   # int32 [n_dev, Tc]
+    tcol_c: np.ndarray   # int32 [n_dev, Tc] ascending, covers every buf block
+    res_row: np.ndarray  # int32 [n_dev, e_local] — local dest rows
+    res_col: np.ndarray  # int32 [n_dev, e_local] — buffer source cols
+    res_val: np.ndarray  # float32 [n_dev, e_local] (0 = padding edge)
+    n_dev: int
+    n_local: int
+    n_real_nodes: int
+    n_real_edges: int
+    has_res: bool  # static: any live residual edge anywhere
+    send_idx: np.ndarray | None = None  # boundary halo (see ShardedGraph)
+    halo_size: int = 0
+    node_perm: np.ndarray | None = None
+    ring: bool = False       # trainer-layout contract (cf. ShardedGraph)
+    push_slab: int = 0       # adaptive push pairs are unsupported here
+
+    @property
+    def n_nodes_pad(self) -> int:
+        return self.n_dev * self.n_local
+
+    @property
+    def n_buf(self) -> int:
+        if self.send_idx is not None:
+            return self.n_local + self.n_dev * self.halo_size
+        return self.n_nodes_pad
+
+
+def gat_mesh_pack(hsg: HybridShardedGraph, max_tile_c: int = 512) -> GATMeshPack:
+    """Build the mesh attention packs from a hybrid row-block partition.
+
+    Requirements: no adaptive push pairs (they move a destination row's edges
+    off its owner, breaking the device-local softmax — build the partition
+    with ``adaptive=False``). int8 pattern slabs are fine: attention reads
+    only the 0/1 edge pattern, and the int8 residual's multiplicity values
+    are nonzero exactly on live edges.
+    """
+    assert hsg.push_slab == 0, (
+        "gat_mesh_pack needs a pull-only partition (adaptive push pairs "
+        "move dest rows' edges off-device — the local softmax breaks)"
+    )
+    tiles = np.asarray(hsg.tiles)
+    trow = np.asarray(hsg.trow)
+    tcol = np.asarray(hsg.tcol)
+    n_dev, T, r, c = tiles.shape
+    if c > max_tile_c:
+        # view-split wide tiles into column strips (host-side counterpart of
+        # ops/tile_attention._split_wide): same edge set, trow stays sorted
+        assert c % max_tile_c == 0, (c, max_tile_c)
+        k = c // max_tile_c
+        tiles = (
+            tiles.reshape(n_dev, T, r, k, max_tile_c)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(n_dev, T * k, r, max_tile_c)
+        )
+        trow = np.repeat(trow, k, axis=1)
+        tcol = (
+            tcol[:, :, None] * k + np.arange(k, dtype=tcol.dtype)[None, None]
+        ).reshape(n_dev, -1)
+        T, c = T * k, max_tile_c
+    n_buf = hsg.n_buf
+    assert n_buf % c == 0, (n_buf, c)
+    b_buf = n_buf // c
+    rows_per_dev = hsg.n_local // r
+
+    # row pack sanity: every local tile-row block must appear (the kernels'
+    # revisiting outputs initialize on each block's FIRST tile)
+    for d in range(n_dev):
+        assert np.array_equal(
+            np.unique(trow[d]), np.arange(rows_per_dev)
+        ), f"device {d}: row pack does not cover all local tile-rows"
+
+    # col-sorted copy with buffer-block coverage
+    missing = [
+        np.setdiff1d(np.arange(b_buf, dtype=np.int64),
+                     np.unique(tcol[d].astype(np.int64)))
+        for d in range(n_dev)
+    ]
+    Tc = T + max(len(m) for m in missing)
+    tiles_c = np.zeros((n_dev, Tc, r, c), tiles.dtype)
+    trow_c = np.zeros((n_dev, Tc), np.int32)
+    tcol_c = np.full((n_dev, Tc), b_buf - 1, np.int32)
+    for d in range(n_dev):
+        miss = missing[d]
+        tt = np.concatenate([tcol[d].astype(np.int64), miss])
+        rr = np.concatenate([trow[d], np.zeros(len(miss), np.int32)])
+        dd = np.concatenate(
+            [tiles[d], np.zeros((len(miss), r, c), tiles.dtype)]
+        )
+        pad = Tc - len(tt)
+        if pad:
+            # static-shape padding: zero tiles on the last buffer block
+            tt = np.concatenate([tt, np.full(pad, b_buf - 1, np.int64)])
+            rr = np.concatenate([rr, np.zeros(pad, np.int32)])
+            dd = np.concatenate([dd, np.zeros((pad, r, c), tiles.dtype)])
+        o = np.argsort(tt, kind="stable")
+        tiles_c[d] = dd[o]
+        trow_c[d] = rr[o]
+        tcol_c[d] = tt[o].astype(np.int32)
+
+    return GATMeshPack(
+        tiles_r=tiles, trow_r=trow.astype(np.int32),
+        tcol_r=tcol.astype(np.int32),
+        tiles_c=tiles_c, trow_c=trow_c, tcol_c=tcol_c,
+        res_row=hsg.res_row, res_col=hsg.res_col, res_val=hsg.res_val,
+        n_dev=n_dev, n_local=hsg.n_local,
+        n_real_nodes=hsg.n_real_nodes, n_real_edges=hsg.n_real_edges,
+        has_res=bool((np.asarray(hsg.res_val) != 0).any()),
+        send_idx=hsg.send_idx, halo_size=hsg.halo_size,
+        node_perm=hsg.node_perm,
+    )
+
+
 def partition_graph_hybrid(
     csr: HostCSR,
     n_dev: int,

@@ -25,7 +25,11 @@ from parallel_gcn_tpu.ops.dropout import dropout
 from parallel_gcn_tpu.ops.loss import l2_penalty as _l2_penalty_arr
 from parallel_gcn_tpu.ops.sparse_matmul import feature_transform
 from parallel_gcn_tpu.optim import adam_step, decayed_leaf as _decayed_leaf
-from parallel_gcn_tpu.parallel.partition import HybridShardedGraph, ShardedGraph
+from parallel_gcn_tpu.parallel.partition import (
+    GATMeshPack,
+    HybridShardedGraph,
+    ShardedGraph,
+)
 
 AXIS = "nodes"
 FEAT = "feat"  # tensor-parallel mesh axis (SURVEY.md §2.4 TP row)
@@ -71,13 +75,28 @@ def _tp_schedule(n_layers: int) -> list[str]:
     ]
 
 
-def _weight_specs(n_layers: int, tp: int):
-    """shard_map in_specs pytree for the weights list (and Adam moments)."""
+def _weight_specs(n_layers: int, tp: int, model: str = "gcn"):
+    """shard_map in_specs pytree for the weights pytree (and Adam moments).
+
+    GCN: one array per layer on the col/row schedule. SAGE: {neigh, self}
+    share the layer's schedule kind (two parallel matmuls of the same shape).
+    GIN: each inner layer's MLP is its own Megatron pair (w1 col, w2 row);
+    the last layer's linear classifier is row-sharded."""
     if tp <= 1:
         return P()
+    col, row = P(None, FEAT), P(FEAT, None)
+    if model == "sage":
+        return [
+            {k: (col if kind == "col" else row) for k in ("neigh", "self")}
+            for kind in _tp_schedule(n_layers)
+        ]
+    if model == "gin":
+        return [
+            {"w1": col, "w2": row} if i < n_layers - 1 else {"w1": row}
+            for i in range(n_layers)
+        ]
     return [
-        P(None, FEAT) if kind == "col" else P(FEAT, None)
-        for kind in _tp_schedule(n_layers)
+        col if kind == "col" else row for kind in _tp_schedule(n_layers)
     ]
 
 
@@ -89,12 +108,30 @@ def _opt_specs(wspecs):
     return AdamState(step=P(), m=list(wspecs), v=list(wspecs))
 
 
-def validate_tp_dims(input_dim: int, hidden_dims, output_dim: int, tp: int):
+def validate_tp_dims(input_dim: int, hidden_dims, output_dim: int, tp: int,
+                     model: str = "gcn"):
     """Raise early (host-side) when a dim cannot be sharded tp ways."""
     if tp <= 1:
         return
     dims = [input_dim, *hidden_dims, output_dim]
     n_layers = len(dims) - 1
+    if model == "gin":
+        # inner MLP pairs: w1 col-sharded on dims[i+1], w2 row-sharded on the
+        # same width; last layer row-shards its input dims[L-1]
+        for i in range(n_layers - 1):
+            if dims[i + 1] % tp:
+                raise ValueError(
+                    f"tp={tp} requires GIN layer {i}'s hidden dim "
+                    f"{dims[i + 1]} divisible by tp (Megatron MLP pair)"
+                )
+        if dims[n_layers - 1] % tp:
+            raise ValueError(
+                f"tp={tp} requires the GIN classifier input dim "
+                f"{dims[n_layers - 1]} divisible by tp (row-sharded)"
+            )
+        return
+    # gcn and sage share the alternating col/row schedule (SAGE's two
+    # per-layer matmuls have identical shapes)
     for i, kind in enumerate(_tp_schedule(n_layers)):
         if kind == "col" and dims[i + 1] % tp:
             raise ValueError(
@@ -118,15 +155,22 @@ def validate_tp_dims(input_dim: int, hidden_dims, output_dim: int, tp: int):
         )
 
 
-def shard_weights(weights, mesh: Mesh, tp: int):
+def shard_weights(weights, mesh: Mesh, tp: int, model: str = "gcn"):
     """Place full (host/replicated) weights as feat-sharded device arrays."""
-    wspecs = _weight_specs(len(weights), tp)
+    wspecs = _weight_specs(len(weights), tp, model)
     if not isinstance(wspecs, list):
-        return [jax.device_put(w, NamedSharding(mesh, P())) for w in weights]
-    return [
+        return jax.tree.map(
+            lambda w: jax.device_put(w, NamedSharding(mesh, P())), weights
+        )
+    # PartitionSpec is a tuple subclass — flatten the weights pytree and
+    # match specs positionally instead of tree-mapping into the specs
+    flat_w, treedef = jax.tree.flatten(weights)
+    flat_s = treedef.flatten_up_to(wspecs)
+    placed = [
         jax.device_put(w, NamedSharding(mesh, s))
-        for w, s in zip(weights, wspecs)
+        for w, s in zip(flat_w, flat_s)
     ]
+    return jax.tree.unflatten(treedef, placed)
 
 
 def shard_dataset(ds: Dataset, sgraph: ShardedGraph):
@@ -526,20 +570,18 @@ def _make_forward(cfg: Config, sgraph):
     tp = max(getattr(cfg.tpu, "tp", 1), 1)
     sched = _tp_schedule(n_layers) if tp > 1 else None
     agg_variant = cfg.gcn.model in ("sage", "gin")
-    if agg_variant and tp > 1:
-        # two matmuls (SAGE) / an MLP (GIN) per layer don't fit the GCN's
-        # col/row Megatron schedule — loud config error, not silent fallback
-        raise ValueError(
-            f"model={cfg.gcn.model} does not support tensor parallelism — "
-            "unset tp (node partitioning + every halo mode DO compose)"
-        )
+    gin = cfg.gcn.model == "gin"
     gat = cfg.gcn.model == "gat"
+    gat_tiles = isinstance(sgraph, GATMeshPack)
+    if gat_tiles and not gat:
+        raise ValueError("GATMeshPack partitions are model=gat-only")
     if gat and (hybrid or ring or adaptive or tp > 1):
         raise ValueError(
-            "model=gat over the mesh supports the flat COO partition with "
-            "the all_gather or boundary halo (the per-destination edge "
-            "softmax must stay device-local; tp is GCN-only) — set "
-            "backend=segment, halo=all_gather|boundary, tp=1"
+            "model=gat over the mesh supports the flat COO partition "
+            "(all_gather/boundary halo) or the gat_mesh_pack tile partition "
+            "(the per-destination edge softmax must stay device-local; tp "
+            "is GCN-only) — set backend=segment|hybrid, "
+            "halo=all_gather|boundary, tp=1"
         )
 
     def _aggregate(h, graph_args):
@@ -585,7 +627,7 @@ def _make_forward(cfg: Config, sgraph):
             # per-device independent dropout masks over the local rows
             key = jax.random.fold_in(key, jax.lax.axis_index(AXIS))
             keys = list(jax.random.split(key, n_layers))
-            if tp > 1:
+            if tp > 1 and not gin:
                 # feat-SHARDED layer inputs need independent masks per feat
                 # device (together they form one iid mask over the full
                 # width); feat-REPLICATED inputs ('col' layers) must mask
@@ -593,7 +635,9 @@ def _make_forward(cfg: Config, sgraph):
                 # and the reference's shared-input-mask semantics — breaks.
                 # a layer's input is feat-sharded exactly when the layer is
                 # 'row' at index >= 1 (layer 0's input x is replicated; col
-                # layers see the post-all_gather replicated form)
+                # layers see the post-all_gather replicated form).
+                # (GIN TP: every layer psums to a replicated output, so all
+                # inputs are replicated — shared masks, no folding)
                 tidx = jax.lax.axis_index(FEAT)
                 keys = [
                     jax.random.fold_in(k, tidx)
@@ -775,14 +819,20 @@ def _make_forward(cfg: Config, sgraph):
 
     def forward_gat(weights, x_local, graph_args, training, key,
                     preagg=False):
-        """Mesh GAT forward (models/gat.py's segment backend over the
-        node-partitioned flat COO): each device owns ALL edges of its dst
-        rows, so the per-destination edge softmax is device-local; ONE halo
-        exchange per layer carries the concatenated [W·h | t] rows (the
-        attention's remote operands travel together). Supported layouts:
-        flat COO with the all_gather or boundary halo — the ring splits a
-        row's edges across rotation steps and the adaptive push pairs move
-        them off-device, both of which would break the local row softmax."""
+        """Mesh GAT forward: each device owns ALL edges of its dst rows, so
+        the per-destination edge softmax is device-local; ONE halo exchange
+        per layer carries the concatenated [W·h | t] rows (the attention's
+        remote operands travel together). Two aggregation layouts:
+
+        - flat COO (models/gat.py's segment backend over the node partition),
+          full or edge-chunked streaming;
+        - gat_mesh_pack tile slabs — the fused rect tile-attention kernels
+          (ops/tile_attention.gat_attend_rect), sharding the single-chip tile
+          backend's 30× reddit-scale win over the mesh.
+
+        Both ride the all_gather or boundary halo — the ring splits a row's
+        edges across rotation steps and the adaptive push pairs move them
+        off-device, either of which would break the local row softmax."""
         from parallel_gcn_tpu.models.gat import LEAKY_SLOPE, _NEG
 
         heads = cfg.gcn.heads
@@ -790,7 +840,12 @@ def _make_forward(cfg: Config, sgraph):
         edge_chunk = cfg.tpu.edge_chunk
         args = list(graph_args)
         send = args.pop() if boundary else None
-        rowl, colb, val = args
+        if gat_tiles:
+            (tiles_r, trow_r, tcol_r, tiles_c, trow_c, tcol_c,
+             rrow, rcol, rval) = args
+        else:
+            rowl, colb, val = args
+            live = (val != 0.0)[:, None]
         assert not preagg  # no GAT analog (data-dependent aggregation)
         h = x_local.astype(dtype)
         if training and (any(d > 0 for d in dropouts) or attn_rate > 0):
@@ -799,7 +854,24 @@ def _make_forward(cfg: Config, sgraph):
             keys = list(jax.random.split(key, 2 * n_layers))
         else:
             keys = [None] * (2 * n_layers)
-        live = (val != 0.0)[:, None]
+
+        def _attend_tiles(s, t_buf, hw_buf, k_attn):
+            from parallel_gcn_tpu.ops.tile_attention import gat_attend_rect
+
+            rate = attn_rate if k_attn is not None else 0.0
+            seed = None
+            if rate > 0.0:
+                # k_attn is per-device (the axis fold above) and per-layer:
+                # the hash masks decorrelate across shards and layers
+                seed = jax.random.randint(
+                    k_attn, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+            return gat_attend_rect(
+                s, t_buf, hw_buf, tiles_r, trow_r, tcol_r,
+                tiles_c, trow_c, tcol_c, rrow, rcol, rval,
+                slope=LEAKY_SLOPE, has_res=sgraph.has_res,
+                attn_dropout=float(rate), seed=seed,
+            )
 
         def _attend_full(s, t_buf, hw_buf, k_attn):
             e = jax.nn.leaky_relu(s[rowl] + t_buf[colb], LEAKY_SLOPE)
@@ -914,11 +986,12 @@ def _make_forward(cfg: Config, sgraph):
             buf = _gather_buffer(jnp.concatenate([hw, t], axis=1), send, AXIS)
             hw_buf = buf[:, : hw.shape[1]].reshape(-1, heads, d_out)
             t_buf = buf[:, hw.shape[1]:]
-            attend = (
-                _attend_chunked
-                if edge_chunk and edge_chunk < rowl.shape[0]
-                else _attend_full
-            )
+            if gat_tiles:
+                attend = _attend_tiles
+            elif edge_chunk and edge_chunk < rowl.shape[0]:
+                attend = _attend_chunked
+            else:
+                attend = _attend_full
             out = attend(s, t_buf, hw_buf, k_attn).astype(dtype)
             if last:
                 return out.mean(axis=1)
@@ -1004,11 +1077,114 @@ def _make_forward(cfg: Config, sgraph):
                 prev = h
         return h.astype(jnp.float32)
 
+    def forward_agg_tp(weights, x_local, graph_args, training, key,
+                       preagg=False):
+        """Tensor-parallel SAGE/GIN over the (nodes, feat) mesh.
+
+        SAGE rides the GCN's alternating col/row Megatron schedule with BOTH
+        per-layer weights (self/neigh — identical shapes) sharded the same
+        way; the neighbor mean's aggregation is column-independent, so 'col'
+        layers aggregate the feat-sharded width with zero communication and
+        'row' layers reduce each matmul's partials with ONE psum_scatter
+        before aggregating the shard (the last layer psums to replicated
+        logits). GIN treats each layer's MLP as its own Megatron pair
+        (w1 col → relu feat-sharded → w2 row → psum): the aggregation runs on
+        the REPLICATED layer input before the pair (redundant across feat —
+        GIN aggregates pre-MLP, so sharding it would trade the redundancy
+        for an extra all_gather of the same bytes), and every layer output
+        is replicated."""
+        assert not preagg
+        sdeg, gargs = graph_args[-1], graph_args[:-1]
+        sage = cfg.gcn.model == "sage"
+        keys = _keys(key, training)
+        s = sdeg.astype(dtype)[:, None]
+        eps = jnp.asarray(cfg.gcn.gin_eps, dtype)
+        rep_in, gather_after = _rep_in_schedule() if sage else (None, None)
+
+        def agg_mean(z):
+            return (_aggregate(s * z, gargs) / s).astype(dtype)
+
+        def sage_layer(h, w, lkey, layer, rep):
+            kind = sched[layer]
+            last = layer == n_layers - 1
+            h = dropout(h, dropouts[layer], lkey, training=training)
+            if kind == "col":
+                hs = feature_transform(h, w["self"], precision=precision,
+                                       out_dtype=dtype)
+                hn = feature_transform(h, w["neigh"], precision=precision,
+                                       out_dtype=dtype)
+                return hs + agg_mean(hn)
+            if rep:
+                shard = w["self"].shape[0]
+                h = jax.lax.dynamic_slice_in_dim(
+                    h, jax.lax.axis_index(FEAT) * shard, shard, 1
+                )
+            ps = feature_transform(h, w["self"], precision=precision,
+                                   out_dtype=dtype)
+            pn = feature_transform(h, w["neigh"], precision=precision,
+                                   out_dtype=dtype)
+            if last:
+                ps = _ckpt_name(jax.lax.psum(ps, FEAT), "tp_comm")
+                pn = _ckpt_name(jax.lax.psum(pn, FEAT), "tp_comm")
+            else:
+                ps = _ckpt_name(
+                    jax.lax.psum_scatter(ps, FEAT, scatter_dimension=1,
+                                         tiled=True), "tp_comm")
+                pn = _ckpt_name(
+                    jax.lax.psum_scatter(pn, FEAT, scatter_dimension=1,
+                                         tiled=True), "tp_comm")
+            return ps + agg_mean(pn)
+
+        def gin_layer(h, w, lkey, layer, rep):
+            del rep  # every GIN TP layer input is replicated
+            h = dropout(h, dropouts[layer], lkey, training=training)
+            z = eps * h + (s * _aggregate(s * h, gargs)).astype(dtype)
+            if "w2" in w:
+                z1 = feature_transform(z, w["w1"], precision=precision,
+                                       out_dtype=dtype)  # col → feat-sharded
+                p = feature_transform(jax.nn.relu(z1), w["w2"],
+                                      precision=precision, out_dtype=dtype)
+                return _ckpt_name(jax.lax.psum(p, FEAT), "tp_comm")
+            shard = w["w1"].shape[0]
+            zs = jax.lax.dynamic_slice_in_dim(
+                z, jax.lax.axis_index(FEAT) * shard, shard, 1
+            )
+            p = feature_transform(zs, w["w1"], precision=precision,
+                                  out_dtype=dtype)
+            return _ckpt_name(jax.lax.psum(p, FEAT), "tp_comm")
+
+        layer_fn = sage_layer if sage else gin_layer
+        h = x_local.astype(dtype)
+        prev = None
+        for layer in range(n_layers):
+            fn = layer_fn
+            if cfg.gcn.remat and training:
+                fn = jax.checkpoint(layer_fn, policy=_TP_SAVE,
+                                    static_argnums=(3, 4))
+            h = fn(h, weights[layer], keys[layer], layer,
+                   rep_in[layer] if sage else False)
+            if (
+                residual
+                and 0 < layer < n_layers - 1
+                and prev is not None
+                and prev.shape == h.shape
+            ):
+                h = h + prev
+            if layer < n_layers - 1:
+                h = jax.nn.relu(h)
+                prev = h
+                if sage and gather_after[layer]:
+                    h = jax.lax.all_gather(h, FEAT, axis=1, tiled=True)
+        return h.astype(jnp.float32)
+
     def forward(weights, x_local, graph_args, training, key, preagg=False):
         if gat:
             return forward_gat(weights, x_local, graph_args, training, key,
                                preagg)
         if agg_variant:
+            if tp > 1:
+                return forward_agg_tp(weights, x_local, graph_args,
+                                      training, key, preagg)
             return forward_agg_variant(weights, x_local, graph_args,
                                        training, key, preagg)
         if tp > 1:
@@ -1138,7 +1314,14 @@ def _graph_specs(sgraph, with_sdeg: bool = False):
     sharded_sqrt_deg array, which device_put_sharded_inputs appends and
     forward_agg_variant peels before _aggregate sees the tuple."""
     hybrid = isinstance(sgraph, HybridShardedGraph)
-    if hybrid:
+    if isinstance(sgraph, GATMeshPack):
+        arrays = (sgraph.tiles_r, sgraph.trow_r, sgraph.tcol_r,
+                  sgraph.tiles_c, sgraph.trow_c, sgraph.tcol_c,
+                  sgraph.res_row, sgraph.res_col, sgraph.res_val)
+        specs = (P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
+                 P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
+                 P(AXIS, None), P(AXIS, None), P(AXIS, None))
+    elif hybrid:
         arrays = (sgraph.tiles, sgraph.trow, sgraph.tcol,
                   sgraph.res_row, sgraph.res_col, sgraph.res_val)
         specs = (P(AXIS, None, None, None), P(AXIS, None), P(AXIS, None),
@@ -1193,7 +1376,7 @@ def make_parallel_epoch_step(
     forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(
         sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
-    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp, cfg.gcn.model)
 
     def _pen(w0):
         # W0 is feat-sharded under tp: the L2 norm needs the full weight
@@ -1268,7 +1451,7 @@ def make_parallel_eval_fn(
     forward = _make_forward(cfg, sgraph).forward
     graph_specs, _ = _graph_specs(
         sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
-    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp, cfg.gcn.model)
 
     def eval_step(weights, x_local, labels_local, split_local, *graph_args):
         graph_args = tuple(a[0] for a in graph_args)
@@ -1354,7 +1537,7 @@ def make_parallel_run(
     pm = _make_forward(cfg, sgraph)
     graph_specs, _ = _graph_specs(
         sgraph, with_sdeg=cfg.gcn.model in ("sage", "gin"))
-    wspecs = _weight_specs(cfg.gcn.n_layers, tp)
+    wspecs = _weight_specs(cfg.gcn.n_layers, tp, cfg.gcn.model)
 
     def run(weights, opt_state, key, x_local, x_eval_local, labels_local,
             split_local, *graph_args):
@@ -1542,6 +1725,7 @@ def fit_parallel(
 
     from parallel_gcn_tpu.optim import init_adam
     from parallel_gcn_tpu.parallel.partition import (
+        gat_mesh_pack,
         partition_graph,
         partition_graph_hybrid,
         partition_graph_ring,
@@ -1558,28 +1742,29 @@ def fit_parallel(
             "a virtual CPU mesh set XLA_FLAGS=--xla_force_host_platform_"
             f"device_count={n_devices * tp} before importing jax"
         )
-    validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim, tp)
+    validate_tp_dims(ds.input_dim, cfg.gcn.hidden_dims, ds.output_dim,
+                     tp, cfg.gcn.model)
     verbose = cfg.train.verbose if verbose is None else verbose
 
     agg_variant = cfg.gcn.model in ("sage", "gin")
-    if agg_variant and tp > 1:
-        raise ValueError(
-            f"model={cfg.gcn.model} does not support tensor parallelism — "
-            "unset tp (node partitioning + every halo mode DO compose)"
-        )
-    if cfg.gcn.model == "gat" and (
-        halo in ("ring", "adaptive") or tp > 1
-        or cfg.tpu.backend in ("hybrid", "bcsr")
-    ):
+    gat = cfg.gcn.model == "gat"
+    if gat and (halo in ("ring", "adaptive") or tp > 1):
         # the per-destination edge softmax must stay device-local: the ring
         # splits a row's edges across rotation steps and the adaptive push
-        # pairs move them to the source owner; tp and the tile slabs are
-        # GCN-only (same check _make_forward enforces for direct builders)
+        # pairs move them to the source owner; tp is GCN-only (same check
+        # _make_forward enforces for direct builders)
         raise ValueError(
-            "model=gat over the mesh supports the flat COO partition with "
-            "the all_gather or boundary halo — set backend=segment, "
-            "halo=all_gather|boundary, tp=1"
+            "model=gat over the mesh supports the flat COO partition or the "
+            "gat_mesh_pack tile partition, with the all_gather or boundary "
+            "halo — set halo=all_gather|boundary, tp=1"
         )
+    if gat and cfg.tpu.backend in ("hybrid", "bcsr"):
+        if cfg.tpu.edge_chunk:
+            raise ValueError(
+                "edge_chunk streams the SEGMENT attention; the tile backend "
+                "already bounds memory at O(N·heads) — unset edge_chunk or "
+                "set backend=segment"
+            )
 
     if cfg.tpu.backend in ("hybrid", "bcsr"):
         if halo == "ring":
@@ -1608,6 +1793,9 @@ def fit_parallel(
             # never ship a "compact" buffer bigger than the gathered matrix
             boundary_fallback=cfg.tpu.halo_fallback,
         )
+        if gat:
+            # rect attention packs over the SAME slabs + halo exchange
+            sgraph = gat_mesh_pack(sgraph)
     elif halo == "ring":
         sgraph = partition_graph_ring(ds.graph, n_devices,
                                       node_pad=cfg.tpu.node_pad)
@@ -1638,11 +1826,11 @@ def fit_parallel(
         if tp > 1:
             from parallel_gcn_tpu.optim import AdamState
 
-            weights = shard_weights(weights, mesh, tp)
+            weights = shard_weights(weights, mesh, tp, cfg.gcn.model)
             opt_state = AdamState(
                 step=opt_state.step,
-                m=shard_weights(list(opt_state.m), mesh, tp),
-                v=shard_weights(list(opt_state.v), mesh, tp),
+                m=shard_weights(list(opt_state.m), mesh, tp, cfg.gcn.model),
+                v=shard_weights(list(opt_state.v), mesh, tp, cfg.gcn.model),
             )
         if verbose:
             print(f"resumed from {resume_from} at epoch {start_epoch}")
@@ -1653,7 +1841,7 @@ def fit_parallel(
                                     ds.output_dim)
         if tp > 1:
             # shard first so init_adam's zeros_like inherits the placement
-            weights = shard_weights(weights, mesh, tp)
+            weights = shard_weights(weights, mesh, tp, cfg.gcn.model)
         opt_state = init_adam(weights)
 
     # input pre-aggregation hoist (exact; see train.preaggregate_input):

@@ -98,11 +98,6 @@ def build_model(cfg: Config, dds: DeviceDataset):
                 raise ValueError(
                     "model=gat backend=hybrid/bcsr needs a tile-built graph"
                 )
-            if cfg.gcn.attn_dropout > 0:
-                raise ValueError(
-                    "attn_dropout is not implemented for the tile attention "
-                    "backend — set attn_dropout=0 or backend=segment/dense"
-                )
             if cfg.tpu.edge_chunk:
                 raise ValueError(
                     "edge_chunk streams the SEGMENT attention; the tile "

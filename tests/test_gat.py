@@ -438,6 +438,132 @@ def test_gat_parallel_edge_chunk_matches_unchunked(halo):
     assert a.test_acc == pytest.approx(b.test_acc, abs=1e-4)
 
 
+@pytest.fixture
+def _tile_interpret():
+    from parallel_gcn_tpu.ops import pallas_bcsr
+
+    old = pallas_bcsr._INTERPRET[0]
+    pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
+    yield
+    pallas_bcsr._INTERPRET[0] = old
+
+
+@pytest.mark.parametrize("halo,mode", [
+    ("all_gather", "scan"),
+    ("boundary", "scan"),
+    ("boundary", "eager"),
+])
+def test_gat_tile_fit_parallel_matches_single_chip(halo, mode,
+                                                   _tile_interpret):
+    """Mesh GAT with backend=hybrid: the rect tile-attention kernels over the
+    gat_mesh_pack slabs (ops/tile_attention.gat_attend_rect) must reproduce
+    the single-chip tile-backend trajectory on the 4-device mesh — the
+    sharded form of the reddit-scale fused attention path."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic(n=300)
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    gcn_cfg = GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                        epochs=12, early_stopping=0, model="gat", heads=2)
+    cfg = Config(
+        gcn=gcn_cfg,
+        tpu=TPUConfig(backend="hybrid", min_tile_nnz=8, seed=7, n_devices=4,
+                      halo=halo, matmul_precision="highest",
+                      halo_fallback=False),
+        train=TrainConfig(verbose=False, mode=mode),
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # small dense fixture
+        res_par = fit_parallel(cfg, ds)
+
+    single_cfg = Config(
+        gcn=gcn_cfg,
+        tpu=TPUConfig(backend="hybrid", min_tile_nnz=8, seed=7,
+                      matmul_precision="highest"),
+        train=TrainConfig(verbose=False, mode="scan"),
+    )
+    res_one = fit(single_cfg, to_device(ds, hybrid=True, min_tile_nnz=8))
+    assert res_par.epochs_run == res_one.epochs_run
+    np.testing.assert_allclose(
+        res_par.history[:, [0, 2]], res_one.history[:, [0, 2]],
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        res_par.history[:, [1, 3]], res_one.history[:, [1, 3]], atol=0.02
+    )
+    assert abs(res_par.test_acc - res_one.test_acc) < 0.03
+
+
+def test_gat_tile_parallel_attn_dropout_trains(_tile_interpret):
+    """Mesh GAT tiles × attn_dropout=0.6 (the paper-faithful rate): the rect
+    kernels' per-device hash masks must train — finite metrics, decreasing
+    loss (exact single-chip parity is impossible: masks are drawn per
+    device-local id space by design)."""
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic(n=300)
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    cfg = Config(
+        gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.1, 0.1),
+                      epochs=15, early_stopping=0, model="gat", heads=2,
+                      attn_dropout=0.6),
+        adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
+        tpu=TPUConfig(backend="hybrid", min_tile_nnz=8, seed=7, n_devices=4,
+                      halo="all_gather", matmul_precision="highest"),
+        train=TrainConfig(verbose=False, mode="eager"),
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        res = fit_parallel(cfg, ds)
+    assert np.isfinite(res.history).all()
+    assert res.history[-1, 0] < res.history[0, 0]
+    assert res.test_acc > 0.5, res.test_acc
+
+
+def test_gat_tile_parallel_rejects_unsupported_config():
+    """backend=hybrid mesh GAT gates edge_chunk at config time (same
+    contract as the single-chip tile backend), and ring/adaptive/tp stay
+    rejected; attn_dropout now ROUTES (in-kernel hash mask)."""
+    from parallel_gcn_tpu.data.parser import Dataset
+    from parallel_gcn_tpu.parallel.train_parallel import fit_parallel
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+
+    def cfg(**tpu_kw):
+        gcn_kw = dict(n_layers=2, hidden_dims=(8,), dropouts=(0.0, 0.0),
+                      epochs=2, early_stopping=0, model="gat", heads=2)
+        gcn_kw["attn_dropout"] = tpu_kw.pop("attn_dropout", 0.0)
+        return Config(
+            gcn=GCNConfig(**gcn_kw),
+            tpu=TPUConfig(backend="hybrid", n_devices=4, **tpu_kw),
+            train=TrainConfig(verbose=False),
+        )
+
+    with pytest.raises(ValueError, match="edge_chunk"):
+        fit_parallel(cfg(edge_chunk=1024), ds)
+    with pytest.raises(ValueError, match="gat"):
+        fit_parallel(cfg(halo="adaptive"), ds)
+
+
 def test_gat_parallel_rejects_unsupported_layouts():
     from parallel_gcn_tpu.data.parser import Dataset
     from parallel_gcn_tpu.parallel.train_parallel import fit_parallel

@@ -221,9 +221,257 @@ def test_gat_tile_trains_end_to_end(mode):
     assert np.isfinite(res.history).all()
 
 
+def _mesh_pack(n=300, n_dev=2, tile_c=128, min_nnz=120, boundary=False,
+               seed=5):
+    from parallel_gcn_tpu.parallel.partition import (
+        gat_mesh_pack, partition_graph_hybrid,
+    )
+
+    csr, _ = random_graph(n, 8, seed=seed)
+    hsg = partition_graph_hybrid(csr, n_dev, tile_r=128, tile_c=tile_c,
+                                 min_tile_nnz=min_nnz or None,
+                                 boundary=boundary)
+    return csr, hsg, gat_mesh_pack(hsg)
+
+
+def test_gat_mesh_pack_structure():
+    """Pack invariants the rect kernels rely on: the row pack covers every
+    local tile-row (ascending), the col-sorted copy covers every buffer block
+    (ascending), both carry the SAME edge multiset, and wide tiles are
+    view-split to <=512 columns."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # small dense fixture
+        csr, hsg, pack = _mesh_pack(tile_c=1024, min_nnz=0, boundary=True)
+    assert pack.tiles_r.shape[3] == 512  # split from 1024
+    rows_per_dev = pack.n_local // pack.tiles_r.shape[2]
+    b_buf = pack.n_buf // pack.tiles_r.shape[3]
+    for d in range(pack.n_dev):
+        assert np.array_equal(np.unique(pack.trow_r[d]),
+                              np.arange(rows_per_dev))
+        assert (np.diff(pack.trow_r[d]) >= 0).all()
+        assert np.array_equal(np.unique(pack.tcol_c[d]), np.arange(b_buf))
+        assert (np.diff(pack.tcol_c[d]) >= 0).all()
+        # same per-(row-block, col-block) edge counts in both sorted orders
+        def key_counts(tiles, trow, tcol):
+            out = {}
+            for i in range(tiles.shape[0]):
+                k = (int(trow[i]), int(tcol[i]))
+                out[k] = out.get(k, 0) + int((tiles[i] != 0).sum())
+            return {k: v for k, v in out.items() if v}
+        assert key_counts(pack.tiles_r[d], pack.trow_r[d], pack.tcol_r[d]) \
+            == key_counts(pack.tiles_c[d], pack.trow_c[d], pack.tcol_c[d])
+    # tile + residual edges add up to the real (self-loop-inclusive) edge set
+    n_tile_edges = int((pack.tiles_r != 0).sum())
+    n_res_edges = int((pack.res_val != 0).sum())
+    assert n_tile_edges + n_res_edges == csr.nnz
+
+
+def test_gat_mesh_pack_rejects_push_pairs():
+    from parallel_gcn_tpu.parallel.partition import (
+        gat_mesh_pack, partition_graph_hybrid,
+    )
+    from tests.test_parallel import _hub_csr
+
+    csr = _hub_csr(n=1040, n_hubs=3)
+    hsg = partition_graph_hybrid(csr, 4, tile_r=128, min_tile_nnz=None,
+                                 adaptive=True)
+    assert hsg.push_slab > 0, "fixture must produce push pairs"
+    with pytest.raises(AssertionError, match="pull-only"):
+        gat_mesh_pack(hsg)
+
+
+@pytest.mark.parametrize("boundary,min_nnz,tile_c,label", [
+    (False, 120, 128, "all_gather + residual"),
+    (True, 120, 128, "boundary + residual"),
+    (False, 0, 256, "all_gather rect, pure pack"),
+    (True, 60, 256, "boundary rect + residual"),
+])
+def test_rect_attention_matches_dense_autodiff(boundary, min_nnz, tile_c,
+                                               label):
+    """gat_attend_rect per device (local dest rows x [local ; halo] buffer)
+    must reproduce the dense masked-softmax reference — forward AND the
+    (ds local, dt/dv buffer-space) gradients, reassembled across devices by
+    the same scatter-add the halo exchange's autodiff transpose performs."""
+    import warnings
+
+    from parallel_gcn_tpu.ops.tile_attention import gat_attend_rect
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        csr, hsg, pack = _mesh_pack(tile_c=tile_c, min_nnz=min_nnz,
+                                    boundary=boundary)
+    n_dev, n_local, n_pad = pack.n_dev, pack.n_local, pack.n_nodes_pad
+    H, D = 3, 5
+    rng = np.random.default_rng(0)
+    s_g = rng.standard_normal((n_pad, H)).astype(np.float32)
+    t_g = rng.standard_normal((n_pad, H)).astype(np.float32)
+    v_g = rng.standard_normal((n_pad, H, D)).astype(np.float32)
+    cot_g = rng.standard_normal((n_pad, H, D)).astype(np.float32)
+
+    # dense reference over the (possibly slab-balanced) global edge set
+    perm = (pack.node_perm if pack.node_perm is not None
+            else np.arange(n_pad))
+    inv = np.empty(n_pad, np.int64)
+    inv[perm] = np.arange(n_pad)
+    rows = np.repeat(np.arange(csr.n_rows), np.diff(csr.indptr))
+    mask = np.zeros((n_pad, n_pad), bool)
+    mask[inv[rows], inv[csr.indices]] = True
+    ref = _dense_attend_st(jnp.asarray(mask), s_g, t_g, v_g)
+    rs, rt, rv = jax.grad(
+        lambda s, t, v: jnp.sum(_dense_attend_st(jnp.asarray(mask), s, t, v)
+                                * cot_g),
+        argnums=(0, 1, 2),
+    )(jnp.asarray(s_g), jnp.asarray(t_g), jnp.asarray(v_g))
+
+    outs = []
+    acc = {"s": np.zeros_like(s_g), "t": np.zeros_like(t_g),
+           "v": np.zeros_like(v_g)}
+    for d in range(n_dev):
+        lo = d * n_local
+        s_l = jnp.asarray(s_g[lo:lo + n_local])
+        if pack.send_idx is None:
+            buf_idx = np.arange(n_pad)
+        else:
+            hs = pack.halo_size
+            halo = [pack.send_idx[b, d * hs:(d + 1) * hs] + b * n_local
+                    for b in range(n_dev)]
+            buf_idx = np.concatenate(
+                [np.arange(lo, lo + n_local), np.concatenate(halo)]
+            )
+        t_b = jnp.asarray(t_g[buf_idx])
+        v_b = jnp.asarray(v_g[buf_idx])
+
+        def f(s_l, t_b, v_b, d=d):
+            return gat_attend_rect(
+                s_l, t_b, v_b,
+                jnp.asarray(pack.tiles_r[d]), jnp.asarray(pack.trow_r[d]),
+                jnp.asarray(pack.tcol_r[d]),
+                jnp.asarray(pack.tiles_c[d]), jnp.asarray(pack.trow_c[d]),
+                jnp.asarray(pack.tcol_c[d]),
+                jnp.asarray(pack.res_row[d]), jnp.asarray(pack.res_col[d]),
+                jnp.asarray(pack.res_val[d]),
+                slope=SLOPE, has_res=pack.has_res,
+            )
+
+        outs.append(np.asarray(f(s_l, t_b, v_b)))
+        cot = cot_g[lo:lo + n_local]
+        ds, dt, dv = jax.grad(
+            lambda a, b, c: jnp.sum(f(a, b, c) * cot), argnums=(0, 1, 2)
+        )(s_l, t_b, v_b)
+        acc["s"][lo:lo + n_local] += np.asarray(ds)
+        np.add.at(acc["t"], buf_idx, np.asarray(dt))
+        np.add.at(acc["v"], buf_idx, np.asarray(dv))
+
+    np.testing.assert_allclose(np.concatenate(outs), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6, err_msg=label + " fwd")
+    for name, a, b in (("ds", acc["s"], rs), ("dt", acc["t"], rt),
+                       ("dv", acc["v"], rv)):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{label}: {name}")
+
+
+def _dense_attend_st(mask, s, t, v):
+    return _dense_attend(mask, jnp.asarray(s), jnp.asarray(t), jnp.asarray(v))
+
+
+@pytest.mark.parametrize("boundary", [False, True])
+def test_rect_attention_dropout_matches_dense_autodiff(boundary):
+    """attn_dropout through gat_attend_rect: per device, the rect kernels +
+    residual path with the (local dest, buffer src) hash mask must match a
+    dense slab reference evaluated with the SAME mask — forward and all
+    three gradients (dt/dv compare directly in buffer space)."""
+    import warnings
+
+    from parallel_gcn_tpu.ops.tile_attention import (
+        _hash_keep, _rate_to_threshold, gat_attend_rect,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        csr, hsg, pack = _mesh_pack(tile_c=128, min_nnz=100,
+                                    boundary=boundary)
+    n_dev, n_local, n_pad = pack.n_dev, pack.n_local, pack.n_nodes_pad
+    n_buf = pack.n_buf
+    H, D, rate = 3, 4, 0.4
+    R, C = pack.tiles_r.shape[2], pack.tiles_r.shape[3]
+    rng = np.random.default_rng(3)
+    s_g = rng.standard_normal((n_pad, H)).astype(np.float32)
+    t_g = rng.standard_normal((n_pad, H)).astype(np.float32)
+    v_g = rng.standard_normal((n_pad, H, D)).astype(np.float32)
+
+    for d in range(n_dev):
+        lo = d * n_local
+        if pack.send_idx is None:
+            buf_idx = np.arange(n_pad)
+        else:
+            hs = pack.halo_size
+            halo = [pack.send_idx[b, d * hs:(d + 1) * hs] + b * n_local
+                    for b in range(n_dev)]
+            buf_idx = np.concatenate(
+                [np.arange(lo, lo + n_local), np.concatenate(halo)]
+            )
+        s_l = jnp.asarray(s_g[lo:lo + n_local])
+        t_b = jnp.asarray(t_g[buf_idx])
+        v_b = jnp.asarray(v_g[buf_idx])
+        cot = jnp.asarray(
+            rng.standard_normal((n_local, H, D)).astype(np.float32))
+        seed = 1000 + d
+
+        # dense slab mask (tiles + residual) in (local row, buffer col) space
+        slab = np.zeros((n_local, n_buf), bool)
+        for i in range(pack.tiles_r.shape[1]):
+            tr, tc = int(pack.trow_r[d, i]), int(pack.tcol_r[d, i])
+            slab[tr * R:(tr + 1) * R, tc * C:(tc + 1) * C] |= (
+                pack.tiles_r[d, i] != 0
+            )
+        live = pack.res_val[d] != 0
+        slab[pack.res_row[d][live], pack.res_col[d][live]] = True
+        keep = jnp.stack(
+            [_hash_keep(jnp.arange(n_local, dtype=jnp.int32)[:, None],
+                        jnp.arange(n_buf, dtype=jnp.int32)[None, :], h,
+                        jnp.asarray(seed, jnp.int32),
+                        _rate_to_threshold(rate))
+             for h in range(H)], axis=-1)
+
+        def f(s_l, t_b, v_b, d=d, seed=seed):
+            return gat_attend_rect(
+                s_l, t_b, v_b,
+                jnp.asarray(pack.tiles_r[d]), jnp.asarray(pack.trow_r[d]),
+                jnp.asarray(pack.tcol_r[d]),
+                jnp.asarray(pack.tiles_c[d]), jnp.asarray(pack.trow_c[d]),
+                jnp.asarray(pack.tcol_c[d]),
+                jnp.asarray(pack.res_row[d]), jnp.asarray(pack.res_col[d]),
+                jnp.asarray(pack.res_val[d]),
+                slope=SLOPE, has_res=pack.has_res,
+                attn_dropout=rate, seed=seed,
+            )
+
+        def ref(s_l, t_b, v_b, slab=slab, keep=keep):
+            return _dense_attend_dropped(jnp.asarray(slab), keep,
+                                         s_l, t_b, v_b, rate)
+
+        np.testing.assert_allclose(
+            np.asarray(f(s_l, t_b, v_b)), np.asarray(ref(s_l, t_b, v_b)),
+            rtol=2e-5, atol=2e-6, err_msg=f"device {d} fwd",
+        )
+        g_tile = jax.grad(
+            lambda a, b, c: jnp.sum(f(a, b, c) * cot), argnums=(0, 1, 2)
+        )(s_l, t_b, v_b)
+        g_ref = jax.grad(
+            lambda a, b, c: jnp.sum(ref(a, b, c) * cot), argnums=(0, 1, 2)
+        )(s_l, t_b, v_b)
+        for name, a, b in zip(("ds", "dt", "dv"), g_tile, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5,
+                                       err_msg=f"device {d}: {name}")
+
+
 def test_gat_tile_rejects_unsupported_config():
-    """Config-time errors: attn_dropout and edge_chunk have no tile-backend
-    implementation — loud errors, not silent degradation."""
+    """Config-time errors: edge_chunk has no tile-backend implementation —
+    a loud error, not silent degradation (attn_dropout DOES route: the
+    in-kernel hash mask)."""
     from parallel_gcn_tpu.data.parser import Dataset, to_device
 
     csr, _ = random_graph(140, 6, seed=2)
@@ -245,8 +493,134 @@ def test_gat_tile_rejects_unsupported_config():
         return Config(gcn=GCNConfig(**gcn), tpu=TPUConfig(**tpu),
                       train=TrainConfig(verbose=False))
 
-    with pytest.raises(ValueError, match="attn_dropout"):
-        build_model(cfg(attn_dropout=0.5), dds)
     with pytest.raises(ValueError, match="edge_chunk"):
         build_model(cfg(edge_chunk=1024), dds)
     assert build_model(cfg(), dds).backend == "tile"
+    # attn_dropout routes to the tile backend (in-kernel hash mask)
+    m = build_model(cfg(attn_dropout=0.5), dds)
+    assert m.backend == "tile" and m.attn_dropout == 0.5
+
+
+def _dense_keep(n, H, seed, rate):
+    """The kernels' stateless hash mask, evaluated densely: [n, n, H]."""
+    from parallel_gcn_tpu.ops.tile_attention import (
+        _hash_keep, _rate_to_threshold,
+    )
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    thr = _rate_to_threshold(rate)
+    seed = jnp.asarray(seed, jnp.int32)
+    return jnp.stack(
+        [_hash_keep(ids[:, None], ids[None, :], h, seed, thr)
+         for h in range(H)],
+        axis=-1,
+    )
+
+
+def _dense_attend_dropped(mask, keep, s, t, v, rate):
+    """Numerator-dropped / undropped-denominator semantics (models/gat.py's
+    segment path): α̃ = keep ⊙ α / keep_prob."""
+    e = s[:, None, :] + t[None, :, :]
+    e = jnp.where(e >= 0, e, SLOPE * e)
+    e = jnp.where(mask[:, :, None], e, -1e9)
+    a = jax.nn.softmax(e, axis=1)
+    a = jnp.where(mask[:, :, None], a, 0.0)
+    a = jnp.where(keep, a * (1.0 / (1.0 - rate)), 0.0)
+    return jnp.einsum("ijh,jhd->ihd", a, v)
+
+
+@pytest.mark.parametrize("tile_c,min_nnz,label", [
+    (128, 120, "hybrid square (real residual)"),
+    (256, 0, "pure rectangular pack"),
+])
+def test_tile_attention_dropout_matches_dense_autodiff(tile_c, min_nnz,
+                                                       label):
+    """attn_dropout inside the fused kernels (VERDICT r3 item 4): with the
+    SAME hash mask evaluated densely, forward and every gradient must match
+    the masked-numerator dense reference — across the tile path, the COO
+    residual path, and both backward orientations (the mirror sweep sees
+    each edge transposed and must regenerate the UNtransposed mask)."""
+    csr, _ = random_graph(300, 8, seed=7)
+    g = build_graph(csr, hybrid=True, min_tile_nnz=min_nnz or None,
+                    tile_size=128, tile_cols=tile_c)
+    if min_nnz:
+        assert g.is_hybrid and int((np.asarray(g.val) != 0).sum()) > 0
+    n = g.n_nodes
+    H, D, rate, seed = 3, 5, 0.4, 12345
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n, H)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, H, D)).astype(np.float32))
+    mask = jnp.asarray(_edge_mask(g))
+    keep = _dense_keep(n, H, seed, rate)
+    # the fixture must actually drop some live edges (and keep some)
+    dropped = int((mask[:, :, None] & ~keep).sum())
+    kept = int((mask[:, :, None] & keep).sum())
+    assert dropped > 100 and kept > 100, (dropped, kept)
+
+    def tile_fn(s, t, v):
+        return gat_attend_tiles(g, s, t, v, slope=SLOPE,
+                                attn_dropout=rate, seed=seed)
+
+    def dense_fn(s, t, v):
+        return _dense_attend_dropped(mask, keep, s, t, v, rate)
+
+    np.testing.assert_allclose(
+        np.asarray(tile_fn(s, t, v)), np.asarray(dense_fn(s, t, v)),
+        rtol=2e-5, atol=2e-6, err_msg=label,
+    )
+    grads_tile = jax.grad(
+        lambda s, t, v: jnp.sum(tile_fn(s, t, v) * cot), argnums=(0, 1, 2)
+    )(s, t, v)
+    grads_dense = jax.grad(
+        lambda s, t, v: jnp.sum(dense_fn(s, t, v) * cot), argnums=(0, 1, 2)
+    )(s, t, v)
+    for name, a, b in zip(("ds", "dt", "dv"), grads_tile, grads_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"{label}: {name}")
+
+
+def test_gat_tile_attn_dropout_trains_and_matches_segment_stats():
+    """End-to-end: the paper-faithful attn_dropout=0.6 config trains on the
+    tile backend, and its multi-seed final-loss statistics sit in the same
+    band as the segment backend's (different RNG streams — hash mask vs
+    jax.random — so trajectories match in DISTRIBUTION, not per step)."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    from tests.test_model import _synthetic
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(name="t", graph=csr, feature_csr=None, features=x,
+                 labels=labels, split=split, n_nodes=csr.n_rows,
+                 input_dim=x.shape[1], output_dim=int(labels.max()) + 1)
+
+    def run(backend, seed):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.1, 0.1),
+                          epochs=30, early_stopping=0, model="gat", heads=2,
+                          attn_dropout=0.6),
+            adam=AdamConfig(learning_rate=0.02, weight_decay=5e-4),
+            tpu=TPUConfig(backend=backend, min_tile_nnz=8,
+                          matmul_precision="highest", seed=seed),
+            train=TrainConfig(verbose=False, mode="eager"),
+        )
+        dds = to_device(ds, hybrid=backend == "hybrid",
+                        min_tile_nnz=8 if backend == "hybrid" else None)
+        model = build_model(cfg, dds)
+        assert model.backend == ("tile" if backend == "hybrid" else "segment")
+        return fit(cfg, dds)
+
+    seeds = (3, 4, 5, 6)
+    tile = [run("hybrid", s) for s in seeds]
+    seg = [run("segment", s) for s in seeds]
+    for r in tile + seg:
+        assert np.isfinite(r.history).all()
+        assert r.history[-1, 0] < r.history[0, 0]
+    tl = np.mean([r.history[-1, 0] for r in tile])
+    sl = np.mean([r.history[-1, 0] for r in seg])
+    ta = np.mean([r.test_acc for r in tile])
+    sa = np.mean([r.test_acc for r in seg])
+    assert abs(tl - sl) < 0.25, (tl, sl)
+    assert abs(ta - sa) < 0.15, (ta, sa)
