@@ -68,6 +68,8 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
         return out
 
     once()  # compile
+    once()  # warm (tunnel/worker caches — the first post-compile run can
+    #         carry a one-off multi-second stall that is not epoch time)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -85,8 +87,11 @@ def bench(dataset: str, epochs: int, reps: int) -> dict:
         "device": dev.platform,
         "device_kind": getattr(dev, "device_kind", dev.platform),
         "epoch_ms_min": best,
-        "epoch_ms_mean": float(np.mean(times)),
+        # median, not mean: one cold/GC outlier rep must not dominate the
+        # committed row (round-3 synth-reddit shipped mean 50±65 vs min 17.8)
+        "epoch_ms_median": float(np.median(times)),
         "epoch_ms_sd": float(np.std(times)),
+        "reps_ms": [round(t, 4) for t in times],
         "edges_per_s": edges / (best / 1e3),
         # datasets without published baselines (e.g. synth-medium) report null
         "vs_gpu_baseline": (
@@ -137,7 +142,7 @@ def main() -> int:
             continue
         line = (
             f"{name:10s} backend={r['backend']:8s} "
-            f"epoch {r['epoch_ms_min']:.4f} ms (mean {r['epoch_ms_mean']:.4f}±{r['epoch_ms_sd']:.4f}) "
+            f"epoch {r['epoch_ms_min']:.4f} ms (median {r['epoch_ms_median']:.4f}±{r['epoch_ms_sd']:.4f}) "
             f"{r['edges_per_s'] / 1e6:.1f} Medge/s "
             + (
                 f"| {r['vs_gpu_baseline']:.2f}x T4, "

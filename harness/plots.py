@@ -91,7 +91,7 @@ def plot_performance():
         return
 
     x = np.arange(len(rows))
-    ours = [r["epoch_ms_mean"] for r in rows]
+    ours = [r.get("epoch_ms_median", r.get("epoch_ms_mean")) for r in rows]
     gpu = [_baseline_for(r["dataset"])[0] for r in rows]
     cpu = [_baseline_for(r["dataset"])[1] for r in rows]
 
@@ -108,8 +108,8 @@ def plot_performance():
     # (ratio of the PLOTTED means, so the label matches the bars)
     for xi, r, g in zip(x, rows, gpu):
         ax.annotate(
-            f'{g / r["epoch_ms_mean"]:.1f}×',
-            (xi - w, r["epoch_ms_mean"]),
+            f'{g / r.get("epoch_ms_median", r.get("epoch_ms_mean")):.1f}×',
+            (xi - w, r.get("epoch_ms_median", r.get("epoch_ms_mean"))),
             textcoords="offset points",
             xytext=(0, 3),
             ha="center",
