@@ -44,7 +44,8 @@ GRID = {
 def time_layout(dataset: str, backend: str, reorder: str, tile: int,
                 epochs: int, reps: int, tile_cols: int = 0,
                 tile_dtype: str = "auto",
-                min_tile_nnz: int | None = None) -> float | None:
+                min_tile_nnz: int | None = None,
+                adj_dtype: str = "auto") -> float | None:
     cfg = load_config(default_params_path(dataset))
     cfg.gcn.epochs = epochs
     cfg.gcn.early_stopping = 0
@@ -55,6 +56,7 @@ def time_layout(dataset: str, backend: str, reorder: str, tile: int,
     cfg.tpu.tile_size = tile
     cfg.tpu.tile_cols = tile_cols
     cfg.tpu.tile_dtype = tile_dtype
+    cfg.tpu.adj_dtype = adj_dtype
     if min_tile_nnz is not None:
         cfg.tpu.min_tile_nnz = min_tile_nnz
     try:
@@ -95,6 +97,10 @@ def main() -> int:
     ap.add_argument("--reorders", default="", help="comma filter, e.g. rcm")
     ap.add_argument("--tile-dtypes", default="auto",
                     help="comma list for tile backends, e.g. auto,int8")
+    ap.add_argument("--adj-dtypes", default="auto",
+                    help="comma list for the dense backend, e.g. "
+                    "auto,int8 (int8 = exact 0/1 pattern + outside "
+                    "d-scaling, half the Â bytes)")
     ap.add_argument("--min-nnz", default="",
                     help="comma list of min_tile_nnz thresholds to sweep "
                     "jointly with the tile shape (tile/residual break-even; "
@@ -120,27 +126,33 @@ def main() -> int:
 
     rows = []
     seen = set()
-    for backend, reorder, tile, mult, tdt, nnz in itertools.product(
+    for backend, reorder, tile, mult, tdt, nnz, adt in itertools.product(
         grid["backend"], grid["reorder"], grid["tile_size"], grid["cols_mult"],
-        args.tile_dtypes.split(","), nnz_list,
+        args.tile_dtypes.split(","), nnz_list, args.adj_dtypes.split(","),
     ):
         tile_cols = tile * mult
-        # tile knobs only matter for tile-based backends — dedupe the rest
+        # tile knobs only matter for tile-based backends, adj_dtype only for
+        # dense — dedupe the rest
         tiled = backend in ("bcsr", "hybrid")
+        dense = backend == "dense"
         key = (backend, reorder, tile if tiled else 0, tile_cols if tiled else 0,
-               tdt if tiled else "auto", nnz if tiled else None)
+               tdt if tiled else "auto", nnz if tiled else None,
+               adt if dense else "auto")
         if key in seen:
             continue
         seen.add(key)
         ms = time_layout(args.dataset, backend, reorder, tile,
                          args.epochs, args.reps, tile_cols=tile_cols,
                          tile_dtype=tdt if tiled else "auto",
-                         min_tile_nnz=nnz if tiled else None)
+                         min_tile_nnz=nnz if tiled else None,
+                         adj_dtype=adt if dense else "auto")
         if ms is None:
             continue
         label = f"{backend}/{reorder}" + (
             f"/t{tile}x{tile_cols}/{tdt}" if tiled else ""
-        ) + (f"/nnz{nnz}" if tiled and nnz is not None else "")
+        ) + (f"/nnz{nnz}" if tiled and nnz is not None else "") + (
+            f"/adj-{adt}" if dense and adt != "auto" else ""
+        )
         print(f"{args.dataset} {label:24s} epoch {ms:.4f} ms", flush=True)
         rows.append((ms, label))
 

@@ -175,6 +175,12 @@ class TPUConfig:
     # applied outside the kernel (out = d ⊙ B(d ⊙ x), d = deg^{-1/2}) — an
     # exact factorization, NOT quantization; halves the bf16 tile stream
     tile_dtype: str = "auto"
+    # dense-backend Â storage: auto (float32 when matmul_precision=highest,
+    # else bfloat16) | float32 | bfloat16 | int8. int8 is the tile trick
+    # applied to the dense path — the exact 0/1·k pattern with
+    # out = d ⊙ (A₈ @ (d ⊙ x)) scaling outside the matmul; halves the
+    # dominant Â read of citation-scale epochs (swept by tuning_layout)
+    adj_dtype: str = "auto"
     # byte budget for resident Â tiles (hybrid backend)
     tile_budget_mb: int = 3072
     # minimum nnz for a tile to qualify (0 = auto break-even vs gather cost)
@@ -248,6 +254,11 @@ class TPUConfig:
                 "tile_dtype must be auto|float32|bfloat16|int8, "
                 f"got {self.tile_dtype!r}"
             )
+        if self.adj_dtype not in ("auto", "float32", "bfloat16", "int8"):
+            raise ValueError(
+                "adj_dtype must be auto|float32|bfloat16|int8, "
+                f"got {self.adj_dtype!r}"
+            )
 
 
 @dataclass
@@ -304,6 +315,7 @@ _KEYMAP = {
     "tile_budget_mb": ("tpu", "tile_budget_mb"),
     "tile_cols": ("tpu", "tile_cols"),
     "tile_dtype": ("tpu", "tile_dtype"),
+    "adj_dtype": ("tpu", "adj_dtype"),
     "min_tile_nnz": ("tpu", "min_tile_nnz"),
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),

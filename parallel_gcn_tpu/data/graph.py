@@ -62,6 +62,10 @@ class Graph:
     # pack, int8 pattern, segment) and the backward-equals-forward shortcut
     # come along for free.
     sqrt_deg: jnp.ndarray | None = None
+    # adj_dtype=int8: d (= deg^{-1/2}, [n_nodes] f32) factoring the dense
+    # adjacency as adj_ij = adj8_ij · d_i · d_j — the int8 tile-pattern trick
+    # applied to the dense path (ops.graphsum wraps out = d ⊙ (A₈ @ (d ⊙ x)))
+    adj_scale: jnp.ndarray | None = None
 
     @property
     def n_edges_pad(self) -> int:
@@ -348,19 +352,35 @@ def build_graph(
     val[:nnz] = vals_np
 
     adj = None
+    adj_scale = None
     if dense:
-        adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
-        adj_np[all_rows, csr.indices] = csr.values
-        # dense-backend Â in bf16 when fast-matmul is requested
-        # (adj_dtype follows matmul_precision, NOT tile_dtype — an explicit
-        # int8/bf16 tile pack under precision=highest must not silently
-        # degrade the dense path): at citation scale the epoch is dominated
-        # by the 2 adjacency reads per epoch (cora: 2×29 MB of a 115 µs
-        # epoch), and default-precision matmuls round the operands to bf16 on
-        # the fly anyway — storing bf16 halves the read without changing the
-        # compute class.
-        if np.dtype(adj_dtype) != np.float32:
-            adj_np = adj_np.astype(jnp.dtype(adj_dtype))
+        if np.dtype(adj_dtype) == np.int8:
+            # the int8 tile-pattern trick on the dense path: Â factors as
+            # k_ij·d_i·d_j (recover_sym_scale verifies), so store the integer
+            # multiplicity matrix and scale outside the matmul — EXACT, and
+            # half the bytes of bf16 on the epoch-dominating Â reads
+            d = (sym_scale if sym_scale is not None else
+                 recover_sym_scale(all_rows, csr.indices, csr.values,
+                                   csr.n_rows, n_pad))
+            unit = d[all_rows].astype(np.float64) * d[csr.indices]
+            k = np.rint(csr.values / np.maximum(unit, 1e-30))
+            assert (1 <= k).all() and (k <= 127).all(), "multiplicity range"
+            adj_np = np.zeros((n_pad, n_pad), dtype=np.int8)
+            adj_np[all_rows, csr.indices] = k.astype(np.int8)
+            adj_scale = jnp.asarray(d.astype(np.float32))
+        else:
+            adj_np = np.zeros((n_pad, n_pad), dtype=np.float32)
+            adj_np[all_rows, csr.indices] = csr.values
+            # dense-backend Â in bf16 when fast-matmul is requested
+            # (adj_dtype follows matmul_precision, NOT tile_dtype — an
+            # explicit int8/bf16 tile pack under precision=highest must not
+            # silently degrade the dense path): at citation scale the epoch
+            # is dominated by the 2 adjacency reads per epoch (cora: 2×29 MB
+            # of a 115 µs epoch), and default-precision matmuls round the
+            # operands to bf16 on the fly anyway — storing bf16 halves the
+            # read without changing the compute class.
+            if np.dtype(adj_dtype) != np.float32:
+                adj_np = adj_np.astype(jnp.dtype(adj_dtype))
         adj = jnp.asarray(adj_np)
 
     if bcsr:
@@ -390,6 +410,7 @@ def build_graph(
         is_hybrid=hybrid,
         coo_complete=coo_complete,
         sqrt_deg=jnp.asarray(sqrt_deg_np),
+        adj_scale=adj_scale,
     )
 
 

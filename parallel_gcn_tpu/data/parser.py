@@ -349,7 +349,9 @@ def prepare_device_dataset(cfg, name: str) -> tuple[Dataset, DeviceDataset]:
         hybrid=backend == "hybrid",
         tile_dtype=tile_dtype,
         adj_dtype=(
-            "float32" if cfg.tpu.matmul_precision == "highest" else "bfloat16"
+            ("float32" if cfg.tpu.matmul_precision == "highest"
+             else "bfloat16")
+            if cfg.tpu.adj_dtype == "auto" else cfg.tpu.adj_dtype
         ),
         tile_size=cfg.tpu.tile_size,
         tile_cols=cfg.tpu.tile_cols,

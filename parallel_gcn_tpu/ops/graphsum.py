@@ -96,7 +96,12 @@ def _graphsum_impl(x, row, col, val, adj, bcsr, n_nodes, spec):
     if backend == "dense":
         prec = None if precision in (None, "default") else precision
         out_dtype = x.dtype
-        if adj.dtype != x.dtype:
+        if adj.dtype == jnp.int8:
+            # int8 pattern matrix (graphsum wrapped the d-scaling outside):
+            # upcast to x's compute dtype — XLA folds the convert into the
+            # matmul's operand read, so HBM still moves 1 byte/entry
+            adj = adj.astype(x.dtype)
+        elif adj.dtype != x.dtype:
             # never upcast a bf16-stored Â back to f32 (that would materialize
             # the full matrix wide again) — narrow x instead; the result keeps
             # x's original dtype
@@ -210,6 +215,17 @@ def graphsum(
         if resolved in ("segment", "hybrid")
         else 1
     )
+    if resolved == "dense" and graph.adj.dtype == jnp.int8:
+        # adj_dtype=int8: Â = D·A₈·D with D = diag(d) (data.graph build
+        # verified the factorization) — scale outside the pattern matmul.
+        # D·A₈·D is symmetric like Â, so the inner op's reuse-the-forward
+        # VJP and the outer autodiff compose exactly
+        d = graph.adj_scale.astype(x.dtype)[:, None]
+        out = _graphsum(
+            x * d, graph.row, graph.col, graph.val, graph.adj, graph.bcsr,
+            graph.n_nodes, (resolved, n_chunks, precision),
+        )
+        return out * d
     return _graphsum(
         x,
         graph.row,

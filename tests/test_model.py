@@ -509,3 +509,33 @@ def test_same_seed_reproduces_exactly():
     b = _fit_synthetic("scan", epochs=15)
     np.testing.assert_array_equal(a.history, b.history)
     assert a.test_acc == b.test_acc
+
+
+def test_fit_dense_int8_adj_matches_f32_trajectory():
+    """adj_dtype=int8 end to end: the dense backend with the 0/1·k pattern
+    matrix + outside d-scaling must reproduce the f32-adjacency trajectory
+    under matmul_precision=highest (the factorization is exact; only f32
+    reassociation rounding differs)."""
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(name="t", graph=csr, feature_csr=None, features=x,
+                 labels=labels, split=split, n_nodes=csr.n_rows,
+                 input_dim=x.shape[1], output_dim=int(labels.max()) + 1)
+
+    def run(adj_dtype):
+        dds = to_device(ds, dense=True, adj_dtype=adj_dtype)
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.2, 0.2),
+                          epochs=40, early_stopping=0),
+            adam=AdamConfig(),
+            tpu=TPUConfig(backend="dense", seed=7,
+                          matmul_precision="highest", adj_dtype=adj_dtype),
+            train=TrainConfig(verbose=False, mode="scan"),
+        )
+        return fit(cfg, dds)
+
+    a = run("int8")
+    b = run("float32")
+    np.testing.assert_allclose(a.history, b.history, rtol=2e-4, atol=2e-4)
+    assert a.test_acc == pytest.approx(b.test_acc, abs=2e-3)

@@ -146,3 +146,65 @@ def test_dropout_inverted_scaling():
     np.testing.assert_array_equal(np.asarray(dropout(x, 0.4, key, training=False)), 1.0)
     # rate 0 is identity
     np.testing.assert_array_equal(np.asarray(dropout(x, 0.0, key, training=True)), 1.0)
+
+
+def _int8_adj_graph(n=50, deg=6, seed=0):
+    from parallel_gcn_tpu.data.graph import build_graph, random_graph
+
+    csr, _ = random_graph(n, avg_degree=deg, seed=seed)
+    g8 = build_graph(csr, dense=True, adj_dtype=np.int8)
+    gf = build_graph(csr, dense=True)
+    return csr, g8, gf
+
+
+def test_graphsum_dense_int8_matches_f32():
+    """adj_dtype=int8 (the tile-pattern trick on the dense path): the 0/1·k
+    pattern matmul with out = d ⊙ (A₈ @ (d ⊙ x)) must reproduce the f32
+    dense aggregation — an exact factorization, not quantization — in both
+    the forward and the (symmetric) VJP."""
+    csr, g8, gf = _int8_adj_graph()
+    assert g8.adj.dtype == jnp.int8 and g8.adj_scale is not None
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((g8.n_nodes, 24), dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((g8.n_nodes, 24), dtype=np.float32))
+
+    out8 = graphsum(x, g8, backend="dense")
+    outf = graphsum(x, gf, backend="dense")
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(outf),
+                               rtol=2e-5, atol=2e-5)
+
+    _, vjp = jax.vjp(lambda x: graphsum(x, g8, backend="dense"), x)
+    (dx,) = vjp(g)
+    np.testing.assert_allclose(
+        np.asarray(dx), np.asarray(graphsum(g, gf, backend="dense")),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_graphsum_dense_int8_multiplicity():
+    """Duplicate (coalesced) edges carry integer multiplicities k>1 in the
+    reference data — the int8 pattern must store k, not saturate at 1."""
+    from parallel_gcn_tpu.data.graph import (
+        HostCSR, build_graph, normalized_adjacency_values,
+    )
+
+    # 3-node graph, self-loops everywhere, the (0,1)/(1,0) pair coalesced
+    # from a duplicate listing: k=2 on that pair
+    indptr = np.array([0, 2, 4, 5], np.int64)
+    indices = np.array([0, 1, 0, 1, 2], np.int32)
+    deg = np.array([3.0, 3.0, 1.0])  # duplicates count toward degree
+    vals = []
+    rows = np.repeat(np.arange(3), np.diff(indptr))
+    for r, c in zip(rows, indices):
+        k = 2.0 if (r, c) in ((0, 1), (1, 0)) else 1.0
+        vals.append(k / np.sqrt(deg[r] * deg[c]))
+    csr = HostCSR(indptr=indptr, indices=indices,
+                  values=np.asarray(vals, np.float32), n_rows=3, n_cols=3)
+    g8 = build_graph(csr, dense=True, adj_dtype=np.int8, node_pad=8)
+    adj8 = np.asarray(g8.adj)
+    assert adj8[0, 1] == 2 and adj8[1, 0] == 2 and adj8[0, 0] == 1
+    x = jnp.asarray(np.eye(8, 4, dtype=np.float32))
+    out = np.asarray(graphsum(x, g8, backend="dense"))
+    gf = build_graph(csr, dense=True, node_pad=8)
+    np.testing.assert_allclose(out, np.asarray(
+        graphsum(x, gf, backend="dense")), rtol=1e-6, atol=1e-6)
