@@ -44,7 +44,14 @@ run-citeseer-gat:
 run-reddit-gat:
 	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
 	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager
-# the COO fallback path (needed when attn_dropout > 0): remat + streaming
+# mesh GAT: the SAME fused tile attention sharded over gat_mesh_pack rect
+# slabs (parallel/partition.py + ops/tile_attention.gat_attend_rect); falls
+# back to a virtual CPU mesh when chips are short
+run-cora-gat-mesh:
+	$(PY) -m parallel_gcn_tpu cora model=gat heads=2 hidden_dims=8 \
+	  dropouts=0.1,0.1 epochs=30 early_stopping=0 n_devices=4 \
+	  backend=hybrid halo=boundary
+# the COO fallback path (for graphs without tile packs): remat + streaming
 # chunked edge softmax, 16.6 s/epoch (fused scan mode faults this tunnel's
 # worker at this scale, so eager)
 run-reddit-gat-coo:
