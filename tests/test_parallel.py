@@ -1284,7 +1284,7 @@ def test_fit_parallel_tp_remat_matches_plain(n_layers, mode):
 # ---------------------------------------------------------------------------
 
 
-def _collective_counts(halo, tp=1, backend="segment"):
+def _collective_counts(halo, tp=1, backend="segment", model="gcn"):
     import re
 
     from parallel_gcn_tpu.ops import pallas_bcsr
@@ -1295,14 +1295,15 @@ def _collective_counts(halo, tp=1, backend="segment"):
     pallas_bcsr._INTERPRET[0] = jax.default_backend() == "cpu"
     try:
         return _collective_counts_inner(
-            re, partition_graph_hybrid, shard_weights, halo, tp, backend
+            re, partition_graph_hybrid, shard_weights, halo, tp, backend,
+            model,
         )
     finally:
         pallas_bcsr._INTERPRET[0] = old_interpret
 
 
 def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
-                             tp, backend):
+                             tp, backend, model="gcn"):
     # hybrid needs >= 2 tile-row blocks per device (8 dev × 128-row tiles)
     # or slab balancing has no freedom and the imbalance warning fires
     ds = _dataset(n=2048) if backend == "hybrid" else _dataset()
@@ -1328,6 +1329,10 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
             ds.graph, nd, min_tile_nnz=4, boundary=halo == "boundary",
             balance=True,
         )
+        if model == "gat":
+            from parallel_gcn_tpu.parallel.partition import gat_mesh_pack
+
+            sg = gat_mesh_pack(sg)
     elif halo == "ring":
         sg = partition_graph_ring(ds.graph, nd)
     else:
@@ -1335,7 +1340,8 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
                              adaptive=halo == "adaptive")
     cfg = Config(
         gcn=GCNConfig(n_layers=2, hidden_dims=(16,), dropouts=(0.0, 0.0),
-                      epochs=1, early_stopping=0),
+                      epochs=1, early_stopping=0, model=model,
+                      heads=2 if model == "gat" else 8),
         tpu=TPUConfig(backend=backend, n_devices=nd, tp=tp, halo=halo,
                       min_tile_nnz=4),
         train=TrainConfig(verbose=False),
@@ -1343,7 +1349,14 @@ def _collective_counts_inner(re, partition_graph_hybrid, shard_weights, halo,
     x, l, s = shard_dataset(ds, sg)
     inputs = device_put_sharded_inputs(mesh, sg, x, l, s)
     step = make_parallel_epoch_step(cfg, mesh, sg, counts_split)
-    w = init_params(jax.random.PRNGKey(0), ds.input_dim, (16,), ds.output_dim)
+    if model == "gat":
+        from parallel_gcn_tpu.models.gat import init_gat_params
+
+        w = init_gat_params(jax.random.PRNGKey(0), ds.input_dim, (16,),
+                            ds.output_dim, 2)
+    else:
+        w = init_params(jax.random.PRNGKey(0), ds.input_dim, (16,),
+                        ds.output_dim)
     if tp > 1:
         w = shard_weights(w, mesh, tp)
     opt = init_adam(w)
@@ -1397,4 +1410,32 @@ def test_epoch_step_collective_structure(halo, tp, backend, expect):
         assert got[op] == n, f"{halo}/tp={tp}/{backend}: {op}={got[op]} != {n} ({got})"
     # grad psum + loss/acc psums must exist; exact count depends on XLA's
     # all-reduce combiner, so only pin a sane band
+    assert 1 <= got["all-reduce"] <= 8, got
+
+
+@pytest.mark.skipif(jax.default_backend() != "cpu", reason="CPU-mesh test")
+@pytest.mark.parametrize(
+    "halo,expect",
+    [
+        # mesh GAT over gat_mesh_pack rect tiles: ONE buffer exchange per
+        # layer carrying the concatenated [W·h | t] (fwd), its autodiff
+        # transpose in the bwd, eval fwd again — and with the boundary halo
+        # NEVER a full gather (the memory-scaling invariant extends to the
+        # fused attention path).
+        ("boundary",
+         {"all-gather": 0, "reduce-scatter": 0, "collective-permute": 0,
+          "all-to-all": 6}),
+        ("all_gather",
+         {"all-gather": 4, "reduce-scatter": 2, "collective-permute": 0,
+          "all-to-all": 0}),
+    ],
+)
+def test_gat_tile_epoch_step_collective_structure(halo, expect):
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # small dense fixture
+        got = _collective_counts(halo, backend="hybrid", model="gat")
+    for op, n in expect.items():
+        assert got[op] == n, f"gat/{halo}: {op}={got[op]} != {n} ({got})"
     assert 1 <= got["all-reduce"] <= 8, got
