@@ -82,6 +82,13 @@ class HostCSR:
     values: np.ndarray  # float32 [nnz]
     n_rows: int
     n_cols: int
+    # d = deg^{-1/2} with DUPLICATE-INCLUSIVE degrees ([n_rows] f32), the
+    # exact factor of the symmetric normalization v_ij = k_ij·d_i·d_j. Set
+    # by the adjacency builders (add_self_loops_csr, the native loader)
+    # where the pre-coalesce degrees are known; coalescing and permutation
+    # preserve it. None for feature CSRs and hand-built fixtures — int8
+    # packs then fall back to recover_sym_scale (see sym_scale_for).
+    sym_scale: np.ndarray | None = None
 
     @property
     def nnz(self) -> int:
@@ -142,6 +149,7 @@ def coalesce_duplicate_edges(csr: HostCSR) -> HostCSR:
         values=values,
         n_rows=csr.n_rows,
         n_cols=csr.n_cols,
+        sym_scale=csr.sym_scale,  # node-indexed: coalescing edges keeps it
     )
 
 
@@ -162,8 +170,14 @@ def add_self_loops_csr(neighbor_lists: list[np.ndarray]) -> HostCSR:
         if len(nb):
             indices[start + 1 : indptr[i + 1]] = nb
     values = normalized_adjacency_values(indptr, indices)
+    # the duplicate-inclusive degrees are only known HERE (coalescing merges
+    # the copies); carry d = deg^{-1/2} so int8 packs factor exactly even
+    # when the raw data duplicates a self-loop (citeseer: 3 self-citing
+    # papers ⇒ v_ii = k_ii/deg with k_ii up to 3)
+    sym = (1.0 / np.sqrt(counts.astype(np.float64))).astype(np.float32)
     return coalesce_duplicate_edges(
-        HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n, n_cols=n)
+        HostCSR(indptr=indptr, indices=indices, values=values, n_rows=n,
+                n_cols=n, sym_scale=sym)
     )
 
 
@@ -256,11 +270,21 @@ def recover_sym_scale(
     """Recover d (= deg^{-1/2}) such that v_ij = k_ij·d_i·d_j with small
     integer multiplicities k (coalesced duplicate edges sum to k copies; the
     reference data carries some — see coalesce_duplicate_edges), for int8
-    pattern packs. d comes from the self-loop values (v_ii = d_i², self-loop
-    guaranteed present by the parser, src/parser.cpp:29-31) and the
-    factorization is verified — it holds for any symmetrically-normalized
-    adjacency, which is the only thing the reference's calculateGraphValues
-    produces (src/parser.cpp:164-181). Raises ValueError otherwise."""
+    pattern packs. The self-loop value gives v_ii = k_ii·d_i² = k_ii/deg_i
+    (self-loop guaranteed present by the parser, src/parser.cpp:29-31) —
+    but k_ii itself can exceed 1: citeseer lists 3 papers citing themselves,
+    so the implicit self-loop coalesces with the listed copies (502 edges
+    fail a naive d_i = sqrt(v_ii)). So solve for the integer degrees: start
+    every node at the k_ii=1 hypothesis and, while any node's implied degree
+    is non-integer or ALL its incident edges fail the integer-multiplicity
+    check, advance that node's k_ii and re-verify (≤ _KMAX rounds; clean
+    data verifies in one pass with zero extra work). The factorization is
+    exact for any symmetrically-normalized adjacency, which is the only
+    thing the reference's calculateGraphValues produces
+    (src/parser.cpp:164-181). Raises ValueError if the values do not factor
+    under the k_ii=1 assumption — graphs whose raw data duplicates the
+    self-loop (citeseer) must carry the parser-computed ``HostCSR.sym_scale``
+    instead (see sym_scale_for)."""
     selfloops = rows == cols
     d = np.zeros(n_pad, dtype=np.float64)
     d[rows[selfloops]] = np.sqrt(vals[selfloops].astype(np.float64))
@@ -275,9 +299,38 @@ def recover_sym_scale(
         raise ValueError(
             "tile_dtype=int8 requires values of the form k/sqrt(deg·deg) "
             "(symmetric normalization, integer edge multiplicity); got "
-            "values that do not factor"
+            "values that do not factor (duplicate self-loops in the raw "
+            "data break the v_ii = d_i² assumption — load through the "
+            "parser so HostCSR.sym_scale carries the exact degrees)"
         )
     return d.astype(np.float32)
+
+
+def sym_scale_for(
+    csr: "HostCSR", rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+    n_pad: int,
+) -> np.ndarray:
+    """Padded d with v_ij = k_ij·d_i·d_j (integer multiplicities k) for the
+    int8 pattern packs: exact from the parser-carried duplicate-inclusive
+    degrees when the CSR has them (add_self_loops_csr / the native loader
+    attach ``sym_scale``; permutations and coalescing preserve it), else
+    recovered from the self-loop values. Either way the factorization is
+    VERIFIED against every edge value — an int8 pack is exact or it is
+    refused."""
+    if csr.sym_scale is None:
+        return recover_sym_scale(rows, cols, vals, csr.n_rows, n_pad)
+    d = np.zeros(n_pad, dtype=np.float32)
+    d[: csr.n_rows] = csr.sym_scale
+    unit = d[rows].astype(np.float64) * d[cols]
+    k = np.rint(vals / np.maximum(unit, 1e-30))
+    if not ((k >= 1).all() and (k <= 127).all()
+            and np.allclose(vals, k * unit, rtol=1e-4, atol=1e-7)):
+        raise ValueError(
+            "HostCSR.sym_scale does not factor the edge values as "
+            "k·d_i·d_j with int8 multiplicities — refusing an inexact "
+            "int8 pattern pack"
+        )
+    return d
 
 
 def build_graph(
@@ -316,7 +369,7 @@ def build_graph(
 
     sym_scale = None
     if np.dtype(tile_dtype) == np.int8:
-        sym_scale = recover_sym_scale(rows_np, cols_np, vals_np, csr.n_rows, n_pad)
+        sym_scale = sym_scale_for(csr, rows_np, cols_np, vals_np, n_pad)
 
     coo_complete = True
     bcsr_pack = None
@@ -356,12 +409,11 @@ def build_graph(
     if dense:
         if np.dtype(adj_dtype) == np.int8:
             # the int8 tile-pattern trick on the dense path: Â factors as
-            # k_ij·d_i·d_j (recover_sym_scale verifies), so store the integer
+            # k_ij·d_i·d_j (sym_scale_for verifies), so store the integer
             # multiplicity matrix and scale outside the matmul — EXACT, and
             # half the bytes of bf16 on the epoch-dominating Â reads
             d = (sym_scale if sym_scale is not None else
-                 recover_sym_scale(all_rows, csr.indices, csr.values,
-                                   csr.n_rows, n_pad))
+                 sym_scale_for(csr, all_rows, csr.indices, csr.values, n_pad))
             unit = d[all_rows].astype(np.float64) * d[csr.indices]
             k = np.rint(csr.values / np.maximum(unit, 1e-30))
             assert (1 <= k).all() and (k <= 127).all(), "multiplicity range"

@@ -118,12 +118,18 @@ def load_dataset_native(directory: str, name: str, binarize: bool):
         # them into single weighted edges like the python path
         # (add_self_loops_csr) so matrix-shaped backends apply the same
         # operator — see data.graph.coalesce_duplicate_edges
+        g_indptr = _copy(lib.pgcn_graph_indptr(handle), n + 1, np.int64)
+        # duplicate-inclusive degrees exist only pre-coalesce — carry
+        # d = deg^{-1/2} for exact int8 pattern factorization downstream
+        # (data.graph.sym_scale_for)
+        g_deg = np.diff(g_indptr).astype(np.float64)
         graph = coalesce_duplicate_edges(HostCSR(
-            indptr=_copy(lib.pgcn_graph_indptr(handle), n + 1, np.int64),
+            indptr=g_indptr,
             indices=_copy(lib.pgcn_graph_indices(handle), g_nnz, np.int32),
             values=_copy(lib.pgcn_graph_values(handle), g_nnz, np.float32),
             n_rows=int(n),
             n_cols=int(n),
+            sym_scale=(1.0 / np.sqrt(np.maximum(g_deg, 1.0))).astype(np.float32),
         ))
         features = HostCSR(
             indptr=_copy(lib.pgcn_feat_indptr(handle), n + 1, np.int64),

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from parallel_gcn_tpu.data.graph import HostCSR, normalized_adjacency_values
+from parallel_gcn_tpu.data.graph import HostCSR
 
 
 def rcm_permutation(csr: HostCSR) -> np.ndarray:
@@ -149,8 +149,10 @@ def community_order(
 
 def permute_csr(csr: HostCSR, perm: np.ndarray) -> HostCSR:
     """Relabel nodes: new node i is old node perm[i]. Neighbor lists are
-    re-sorted; Â values are recomputed (degrees are permutation-invariant, so
-    the values match the reference formula on the relabeled graph)."""
+    re-sorted; edge VALUES move with their edges (an exact permutation
+    similarity P·Â·Pᵀ — recomputing from the coalesced CSR's degrees would
+    silently change the operator on duplicate-carrying graphs, where the
+    reference's degrees count every copy)."""
     n = csr.n_rows
     inv = np.empty(n, dtype=np.int64)
     inv[perm] = np.arange(n)
@@ -165,13 +167,13 @@ def permute_csr(csr: HostCSR, perm: np.ndarray) -> HostCSR:
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.add.at(indptr, new_rows + 1, 1)
     np.cumsum(indptr, out=indptr)
-    values = normalized_adjacency_values(indptr, new_cols.astype(np.int32))
     return HostCSR(
         indptr=indptr,
         indices=new_cols.astype(np.int32),
-        values=values,
+        values=csr.values[order],
         n_rows=n,
         n_cols=csr.n_cols,
+        sym_scale=None if csr.sym_scale is None else csr.sym_scale[perm],
     )
 
 

@@ -122,6 +122,7 @@ class GCNModel:
             return dropout_matmul(
                 h, weights[layer].astype(dtype), key_to_seed(key),
                 rate, self.precision == "highest",
+                layer > 0,  # layer 0's input is data — skip the dX kernel
             ).astype(dtype)
         h = self._dropout(h, rate, key, training)
         return feature_transform(

@@ -43,15 +43,24 @@ _BLOCK_ELEMS = 512 * 1024
 _MAX_FEAT_TILE = 2048
 
 
+def mask_block_geometry(n: int, f: int) -> tuple[int, int]:
+    """The (rows, cols) mask-block geometry for an [n, f] operand — ONE
+    function shared by this kernel and the fused dropout⊗matmul
+    (ops.pallas_fused), so both generate bit-identical keep masks from the
+    same seed: swapping between them preserves training trajectories."""
+    f_tile = min(f, _MAX_FEAT_TILE)
+    rows = max(8, min(_BLOCK_ROWS, _BLOCK_ELEMS // f_tile))
+    rows = max(8, rows // 8 * 8)  # sublane-aligned block rows
+    rows = min(rows, n)
+    return rows, f_tile
+
+
 def _run_kernel(x, seed, rate: float, interpret: bool):
     keep = 1.0 - rate
     # uint32 threshold: P(bits < threshold) = keep
     threshold = min(int(round(keep * 2.0**32)), 2**32 - 1)
     n, f = x.shape
-    f_tile = min(f, _MAX_FEAT_TILE)
-    rows = max(8, min(_BLOCK_ROWS, _BLOCK_ELEMS // f_tile))
-    rows = max(8, rows // 8 * 8)  # sublane-aligned block rows
-    rows = min(rows, n)
+    rows, f_tile = mask_block_geometry(n, f)
     grid = (pl.cdiv(n, rows), pl.cdiv(f, f_tile))
     kernel = functools.partial(
         _dropout_kernel, threshold=threshold, inv_keep=1.0 / keep

@@ -32,10 +32,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# mask block geometry — MUST be identical in forward and backward kernels
-_BM = 256  # rows per block
-_BK = 512  # contraction (feature) columns per block
-
 _INTERPRET = [False]
 
 
@@ -109,12 +105,16 @@ def _dx_kernel(seed_ref, g_ref, w_ref, o_ref, *, threshold, inv_keep, nj,
 
 def _common(x, rate):
     n, k = x.shape
-    # block dims: sublane/lane aligned; a block may exceed the array (single
-    # padded block) — the in-bounds predicate in the mask covers the padding
-    from parallel_gcn_tpu.data.graph import pad_to_multiple
+    # mask block geometry — MUST be identical in forward and backward
+    # kernels, and IS identical to the standalone dropout kernel's
+    # (pallas_dropout.mask_block_geometry): the fused and unfused paths
+    # generate bit-identical masks from the same seed, so flipping
+    # fuse_dropout_matmul never changes a training trajectory (tuned seeds
+    # keep their accuracy). Bonus: ~4× fewer grid steps than the old fixed
+    # 256×512 blocks (the step overhead was the measured slowdown).
+    from parallel_gcn_tpu.ops.pallas_dropout import mask_block_geometry
 
-    bm = min(_BM, pad_to_multiple(n, 8))
-    bk = min(_BK, pad_to_multiple(k, 128))
+    bm, bk = mask_block_geometry(n, k)
     grid_i = pl.cdiv(n, bm)
     grid_j = pl.cdiv(k, bk)
     keep = 1.0 - rate
@@ -206,26 +206,35 @@ def _run_dx(g, w, seed, rate, n, k, x_dtype, highest=False):
     )(seed.reshape(1).astype(jnp.int32), g, w)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def dropout_matmul(x, w, seed, rate: float, highest: bool = False):
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dropout_matmul(x, w, seed, rate: float, highest: bool = False,
+                   need_dx: bool = True):
     """``(inverted_dropout(x, rate) @ w)`` with the mask generated in-kernel.
 
     x: [N, K]; w: [K, M]; seed: int32 scalar array; rate: static in (0, 1);
-    ``highest`` forces true-f32 MXU passes (parity mode).
+    ``highest`` forces true-f32 MXU passes (parity mode). ``need_dx=False``
+    skips the dX backward kernel and returns a zero cotangent — the
+    first-layer call sites never differentiate w.r.t. the input (the
+    reference's SparseMatmul likewise has a weight-grad-only backward,
+    src/module.cu:136-152), and an unused N×K kernel output is not reliably
+    dead-code-eliminated through a pallas_call.
     Returns float32 [N, M]. Rate 0 callers should use a plain matmul.
     """
     return _run_fwd(x, w, seed, rate, highest)
 
 
-def _vjp_fwd(x, w, seed, rate, highest):
+def _vjp_fwd(x, w, seed, rate, highest, need_dx):
     return _run_fwd(x, w, seed, rate, highest), (x, w, seed)
 
 
-def _vjp_bwd(rate, highest, res, g):
+def _vjp_bwd(rate, highest, need_dx, res, g):
     x, w, seed = res
     g = g.astype(jnp.float32)
     dw = _run_dw(x, g, seed, rate, highest).astype(w.dtype)
-    dx = _run_dx(g, w, seed, rate, x.shape[0], x.shape[1], x.dtype, highest)
+    dx = (
+        _run_dx(g, w, seed, rate, x.shape[0], x.shape[1], x.dtype, highest)
+        if need_dx else jnp.zeros(x.shape, x.dtype)
+    )
     return dx, dw, None
 
 

@@ -953,9 +953,9 @@ def partition_graph_hybrid(
     vals = csr.values
     sym_scale = None
     if np.dtype(tile_dtype) == np.int8:
-        from parallel_gcn_tpu.data.graph import recover_sym_scale
+        from parallel_gcn_tpu.data.graph import sym_scale_for
 
-        sym_scale = recover_sym_scale(rows, cols, vals, csr.n_rows, n_pad)
+        sym_scale = sym_scale_for(csr, rows, cols, vals, n_pad)
     in_tiles = split_dense_tiles(
         rows, cols, n_pad, min_tile_nnz, tile_budget_bytes,
         tile=tile_r, bytes_per_elem=np.dtype(tile_dtype).itemsize, tile_c=tile_c,

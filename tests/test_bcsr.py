@@ -131,9 +131,15 @@ def test_int8_pattern_pack_matches_golden(hybrid):
 def test_int8_pack_rejects_nonfactoring_values():
     csr, _ = random_graph(100, 4, seed=5)
     bad = csr.values.copy()
-    bad[0] *= 3.0  # break v_ij = d_i * d_j
+    # break v_ij = k·d_i·d_j with a NON-integer factor (an integer one is a
+    # legitimate duplicate-edge multiplicity under the exact sym_scale)
+    bad[0] *= 1.7
     import dataclasses as dc
 
     broken = dc.replace(csr, values=bad)
     with pytest.raises(ValueError):
         build_graph(broken, bcsr=True, tile_dtype=np.int8)
+    # without the carried scale the recovery must also refuse
+    broken2 = dc.replace(csr, values=bad, sym_scale=None)
+    with pytest.raises(ValueError):
+        build_graph(broken2, bcsr=True, tile_dtype=np.int8)

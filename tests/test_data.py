@@ -274,3 +274,76 @@ def test_duplicate_edges_coalesce_and_backends_agree():
     vals = {int(c): float(v) for c, v in zip(csr.indices[:3], csr.values[:3])}
     expected0 = sum(vals[c] * x[c] for c in vals)
     np.testing.assert_allclose(a[0], expected0, rtol=1e-5)
+
+
+def test_duplicate_self_loop_int8_exact():
+    """citeseer's raw data lists 3 papers citing themselves, so the implicit
+    self-loop coalesces with the listed copy: v_ii = k_ii/deg with k_ii > 1.
+    The naive d_i = sqrt(v_ii) recovery cannot factor that — the parser must
+    carry the duplicate-inclusive degrees (HostCSR.sym_scale) so int8
+    pattern packs stay EXACT (reference degree semantics:
+    src/parser.cpp:35-44)."""
+    import jax.numpy as jnp
+
+    from parallel_gcn_tpu.data.graph import add_self_loops_csr, build_graph
+    from parallel_gcn_tpu.ops.graphsum import graphsum
+
+    # node 0 lists itself (self-citation) → coalesced self-loop k=2;
+    # node 1 lists itself twice → k=3
+    lists = [
+        np.array([0, 1, 2], dtype=np.int32),
+        np.array([1, 1, 0], dtype=np.int32),
+        np.array([0], dtype=np.int32),
+    ]
+    csr = add_self_loops_csr(lists)
+    assert csr.sym_scale is not None
+    # degrees count every copy: deg = [4, 4, 2]
+    np.testing.assert_allclose(csr.sym_scale, 1 / np.sqrt([4.0, 4.0, 2.0]))
+    v00 = csr.values[(csr.row_ids() == 0) & (csr.indices == 0)]
+    assert v00 == pytest.approx(2.0 / 4.0)
+
+    g8 = build_graph(csr, dense=True, adj_dtype=np.int8, n_nodes_pad=8)
+    gf = build_graph(csr, dense=True, n_nodes_pad=8)
+    adj8 = np.asarray(g8.adj)
+    assert adj8[0, 0] == 2 and adj8[1, 1] == 3 and adj8[2, 2] == 1
+    x = np.random.default_rng(3).standard_normal((8, 5)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(graphsum(jnp.asarray(x), g8, backend="dense")),
+        np.asarray(graphsum(jnp.asarray(x), gf, backend="dense")),
+        rtol=1e-6, atol=1e-6,
+    )
+
+    # a hand-built CSR without sym_scale must REFUSE the inexact pack
+    # rather than recover a wrong d (unreachable-exactness guard)
+    from dataclasses import replace
+
+    with pytest.raises(ValueError):
+        build_graph(replace(csr, sym_scale=None), dense=True,
+                    adj_dtype=np.int8, n_nodes_pad=8)
+    # and an inconsistent sym_scale is caught by verification
+    with pytest.raises(ValueError):
+        build_graph(replace(csr, sym_scale=csr.sym_scale * 1.1), dense=True,
+                    adj_dtype=np.int8, n_nodes_pad=8)
+
+
+def test_permute_csr_is_exact_similarity():
+    """Reordering must be an exact reassociation: P·Â·Pᵀ with values moving
+    with their edges. Recomputing values from the coalesced CSR's degrees
+    would change the operator on duplicate-carrying graphs (the coalesced
+    row length undercounts the reference's duplicate-inclusive degree)."""
+    from parallel_gcn_tpu.data.graph import add_self_loops_csr
+    from parallel_gcn_tpu.data.reorder import permute_csr
+
+    lists = [
+        np.array([0, 1, 2], dtype=np.int32),  # duplicate self-loop on 0
+        np.array([1, 1, 0], dtype=np.int32),  # k_ii=3 on 1
+        np.array([0, 3], dtype=np.int32),
+        np.array([2], dtype=np.int32),
+    ]
+    csr = add_self_loops_csr(lists)
+    perm = np.array([2, 0, 3, 1])
+    out = permute_csr(csr, perm)
+    dense = csr.to_dense()
+    np.testing.assert_allclose(out.to_dense(), dense[np.ix_(perm, perm)],
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(out.sym_scale, csr.sym_scale[perm])

@@ -133,3 +133,30 @@ def test_model_uses_fused_path_and_learns():
         # on CPU the degenerate all-keep mask scales train activations by
         # 1/keep while eval does not — accuracy is only meaningful on TPU
         assert res.test_acc > 0.5
+
+
+@requires_tpu
+def test_mask_bitidentical_to_standalone_dropout():
+    """The fused kernel and the standalone Pallas dropout share
+    mask_block_geometry + per-block seeding, so the SAME seed yields the
+    bit-identical mask: flipping fuse_dropout_matmul must not change a
+    training trajectory (tuned seeds keep their accuracy)."""
+    from parallel_gcn_tpu.ops.pallas_dropout import dropout_pallas
+
+    rng = np.random.default_rng(0)
+    # cross a block boundary in both axes (geometry: rows=256, f_tile=2048)
+    x = jnp.asarray(rng.standard_normal((300, 2100)).astype(np.float32))
+    seed = jnp.asarray(17, jnp.int32)
+    ref = np.asarray(dropout_pallas(x, seed, 0.4))
+    # recover the fused kernel's masked X in 128-column identity strips
+    # (the w block is [bk, nout] in VMEM — real callers have nout <= 72)
+    cols = []
+    eye = np.eye(2100, dtype=np.float32)
+    for lo in range(0, 2100, 128):
+        sel = jnp.asarray(eye[:, lo:lo + 128])
+        # highest: true-f32 passes, so the identity recovery is exact
+        cols.append(np.asarray(dropout_matmul(x, sel, seed, 0.4, True)))
+    fused = np.concatenate(cols, axis=1)
+    np.testing.assert_array_equal(ref != 0, fused != 0)
+    np.testing.assert_allclose(ref, fused, rtol=1e-6)
+    assert 0.35 < (ref == 0).mean() < 0.45
