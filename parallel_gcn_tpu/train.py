@@ -37,11 +37,49 @@ from parallel_gcn_tpu.ops.loss import l2_penalty, masked_softmax_xent
 from parallel_gcn_tpu.optim import AdamState, adam_step, init_adam
 
 
-# fused-scan GAT containment threshold (padded edges): above this, the
-# scan+edge_chunk(+remat) program's runtime HBM footprint crashed the TPU
-# worker (measured at 11.8M edges; pubmed-scale ~0.5M runs fine) — fit()
-# falls back to eager with a warning. Conservative midpoint, env-specific.
-_GAT_SCAN_EDGE_LIMIT = 2_000_000
+# fused-scan GAT HBM guard: above this many padded edges, fit() AOT-compiles
+# the fused program and asks XLA for its memory footprint before executing —
+# wrapping the CHUNKED streaming attention epoch in the whole-run lax.scan
+# crashed the TPU worker at 11.8M edges (runtime HBM exhaustion) while
+# pubmed-scale ~0.5M runs fine, so small graphs skip the check's compile
+# cost. The decision itself is computed from memory_analysis() vs the
+# device's bytes_limit (no magic byte constants); see _gat_scan_fits_hbm.
+_GAT_SCAN_CHECK_EDGES = 1_000_000
+_GAT_SCAN_HBM_SAFETY = 0.92  # leave headroom for the allocator/runtime
+
+
+def _gat_scan_fits_hbm(run, weights, opt_state, key):
+    """AOT-compile the fused GAT scan program and decide from XLA's own
+    memory analysis whether it fits the device: peak bytes = temps +
+    (arguments + outputs − donation aliases). Returns (fits, detail); any
+    failure to answer (interpret backends, analysis unavailable, compile
+    error) reports fits=False with the reason — a worker crash must never
+    be what the user sees, so no answer means the conservative path."""
+    import jax as _jax
+
+    try:
+        compiled = run.lower(weights, opt_state, key).compile()
+        ma = compiled.memory_analysis()
+        temp = int(getattr(ma, "temp_size_in_bytes", 0))
+        args = int(getattr(ma, "argument_size_in_bytes", 0))
+        outs = int(getattr(ma, "output_size_in_bytes", 0))
+        alias = int(getattr(ma, "alias_size_in_bytes", 0))
+        need = temp + args + outs - alias
+        stats = _jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if not limit:
+            # no reported limit (CPU/interpret): nothing to exceed
+            return True, f"need≈{need / 1e9:.2f} GB, device reports no limit"
+        budget = int(limit * _GAT_SCAN_HBM_SAFETY)
+        detail = (
+            f"XLA memory analysis: temps {temp / 1e9:.2f} GB + args+outs−donated "
+            f"{(args + outs - alias) / 1e9:.2f} GB = {need / 1e9:.2f} GB vs "
+            f"{budget / 1e9:.2f} GB budget ({_GAT_SCAN_HBM_SAFETY:.0%} of "
+            f"{limit / 1e9:.2f} GB HBM)"
+        )
+        return need <= budget, detail
+    except Exception as e:  # pragma: no cover - backend-specific
+        return False, f"memory analysis unavailable ({type(e).__name__}: {e})"
 
 
 @dataclass
@@ -678,6 +716,16 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             train_mask_host, val_mask_host,
         )
 
+    def lower(weights, opt_state, key):
+        """AOT-lower the fused program with the real (closed-over) data args
+        — lets callers compile-and-inspect (memory_analysis) without
+        executing; see fit()'s GAT HBM check."""
+        return jitted.lower(
+            weights, opt_state, key, dds.graph, dds.x, x_eval_host, dds.labels,
+            train_mask_host, val_mask_host,
+        )
+
+    bound.lower = lower
     return bound
 
 
@@ -741,30 +789,6 @@ def fit(
             )
 
     mode = cfg.train.mode
-    if (
-        mode == "scan"
-        and cfg.gcn.model == "gat"
-        and cfg.tpu.edge_chunk
-        and dds.graph.row.shape[0] > _GAT_SCAN_EDGE_LIMIT
-    ):
-        # containment for a measured failure mode: wrapping the CHUNKED
-        # streaming attention epoch in the fused whole-run lax.scan crashes
-        # the TPU worker at reddit scale (compiles fine; the crash tracks
-        # runtime HBM pressure — the same program runs at pubmed scale, see
-        # PERFORMANCE.md). A worker crash must never be what the user sees:
-        # run the per-epoch jit instead, which trains the identical model.
-        import warnings
-
-        warnings.warn(
-            f"model=gat with edge_chunk at {dds.graph.row.shape[0]} padded "
-            "edges: the fused scan-mode program exceeds runtime HBM at this "
-            "scale — falling back to mode=eager (identical model/metrics, "
-            "one host round-trip per epoch). Set edge_chunk=0 to keep scan "
-            "mode if the unchunked attention fits",
-            stacklevel=2,
-        )
-        mode = "eager"
-
     t0 = time.perf_counter()
     if mode == "scan":
         import copy
@@ -776,6 +800,42 @@ def fit(
             seg_cfg.gcn.epochs = n_epochs
             return _make_scan_run(model, seg_cfg, dds)
 
+        if (
+            cfg.gcn.model == "gat"
+            and cfg.tpu.edge_chunk
+            and dds.graph.row.shape[0] > _GAT_SCAN_CHECK_EDGES
+        ):
+            # containment for a measured failure mode: wrapping the CHUNKED
+            # streaming attention epoch in the fused whole-run lax.scan
+            # crashed the TPU worker at reddit scale (compiles fine; the
+            # crash is runtime HBM exhaustion — the same program runs at
+            # pubmed scale). Ask the compiler, not a magic constant: AOT-
+            # compile the program and compare XLA's own memory analysis to
+            # the device limit. A worker crash must never be what the user
+            # sees, so "can't tell" also takes the eager path. The extra
+            # compile is a persistent-cache hit on the CLI/bench entries.
+            import warnings
+
+            remaining = max(cfg.gcn.epochs - start_epoch, 1)
+            fits, detail = _gat_scan_fits_hbm(
+                build_run(remaining), weights, opt_state, key
+            )
+            if fits:
+                if verbose:
+                    print(f"fused GAT scan fits HBM — {detail}")
+            else:
+                warnings.warn(
+                    f"model=gat with edge_chunk at {dds.graph.row.shape[0]} "
+                    f"padded edges: the fused scan-mode program does not fit "
+                    f"device memory ({detail}) — falling back to mode=eager "
+                    "(identical model/metrics, one host round-trip per "
+                    "epoch). Set edge_chunk=0 to keep scan mode if the "
+                    "unchunked attention fits",
+                    stacklevel=2,
+                )
+                mode = "eager"
+
+    if mode == "scan":
         weights, opt_state, history, epochs_run, key = _drive_scan_run(
             build_run, weights, opt_state, key, cfg, start_epoch,
             ckpt_dir, verbose,

@@ -254,12 +254,14 @@ def test_gat_scan_matches_eager():
 
 
 def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
-    """VERDICT round-2 item 8: at reddit scale the fused scan + edge_chunk
-    attention program crashes the TPU worker (runtime HBM) — fit() must
-    detect the combination above the containment threshold and run the eager
-    per-epoch path with a warning, never hand the user a worker crash. The
-    fallback trains the identical model: trajectories match an explicit
-    eager run exactly."""
+    """At reddit scale the fused scan + edge_chunk attention program crashed
+    the TPU worker (runtime HBM exhaustion) — above the check threshold,
+    fit() AOT-compiles the program and asks XLA's memory analysis whether it
+    fits the device (train._gat_scan_fits_hbm); a does-not-fit (or
+    can't-tell) verdict takes the eager per-epoch path with a warning, never
+    handing the user a worker crash. The fallback trains the identical
+    model: trajectories match an explicit eager run exactly; a fits verdict
+    proceeds with the unchanged scan trajectory."""
     import parallel_gcn_tpu.train as train_mod
     from parallel_gcn_tpu.data.parser import Dataset, to_device
 
@@ -289,8 +291,22 @@ def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
         _warnings.simplefilter("error")
         res_scan = run("scan")
 
-    # shrink the threshold so this fixture counts as "reddit scale"
-    monkeypatch.setattr(train_mod, "_GAT_SCAN_EDGE_LIMIT", 10)
+    # shrink the threshold so this fixture counts as "reddit scale": the AOT
+    # check runs, and on CPU (no reported bytes_limit) it passes — scan
+    # proceeds with the identical trajectory, no warning
+    monkeypatch.setattr(train_mod, "_GAT_SCAN_CHECK_EDGES", 10)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        res_checked = run("scan")
+    np.testing.assert_allclose(res_checked.history, res_scan.history,
+                               rtol=1e-6, atol=1e-7)
+
+    # force a does-not-fit verdict (what the real device reports at 11.8M
+    # edges): the eager fallback must engage with a warning
+    monkeypatch.setattr(
+        train_mod, "_gat_scan_fits_hbm",
+        lambda run, w, o, k: (False, "forced by test"),
+    )
     with pytest.warns(UserWarning, match="falling back to mode=eager"):
         res_fb = run("scan")
     res_eager = run("eager")
