@@ -270,21 +270,18 @@ def recover_sym_scale(
     """Recover d (= deg^{-1/2}) such that v_ij = k_ij·d_i·d_j with small
     integer multiplicities k (coalesced duplicate edges sum to k copies; the
     reference data carries some — see coalesce_duplicate_edges), for int8
-    pattern packs. The self-loop value gives v_ii = k_ii·d_i² = k_ii/deg_i
-    (self-loop guaranteed present by the parser, src/parser.cpp:29-31) —
-    but k_ii itself can exceed 1: citeseer lists 3 papers citing themselves,
-    so the implicit self-loop coalesces with the listed copies (502 edges
-    fail a naive d_i = sqrt(v_ii)). So solve for the integer degrees: start
-    every node at the k_ii=1 hypothesis and, while any node's implied degree
-    is non-integer or ALL its incident edges fail the integer-multiplicity
-    check, advance that node's k_ii and re-verify (≤ _KMAX rounds; clean
-    data verifies in one pass with zero extra work). The factorization is
-    exact for any symmetrically-normalized adjacency, which is the only
-    thing the reference's calculateGraphValues produces
-    (src/parser.cpp:164-181). Raises ValueError if the values do not factor
-    under the k_ii=1 assumption — graphs whose raw data duplicates the
-    self-loop (citeseer) must carry the parser-computed ``HostCSR.sym_scale``
-    instead (see sym_scale_for)."""
+    pattern packs. Under the k_ii=1 hypothesis the self-loop value gives
+    v_ii = d_i² = 1/deg_i directly (self-loop guaranteed present by the
+    parser, src/parser.cpp:29-31), so d_i = sqrt(v_ii); every edge is then
+    verified to factor as an integer multiple k_ij ≥ 1 of d_i·d_j. The
+    factorization is exact for any symmetrically-normalized adjacency,
+    which is the only thing the reference's calculateGraphValues produces
+    (src/parser.cpp:164-181). Raises ValueError when the k_ii=1 hypothesis
+    fails — e.g. citeseer lists 3 papers citing themselves, so the implicit
+    self-loop coalesces with the listed copy and 502 edges stop factoring.
+    Such graphs must carry the parser-computed duplicate-inclusive
+    ``HostCSR.sym_scale`` instead (see sym_scale_for), which is exact with
+    no recovery step."""
     selfloops = rows == cols
     d = np.zeros(n_pad, dtype=np.float64)
     d[rows[selfloops]] = np.sqrt(vals[selfloops].astype(np.float64))

@@ -51,25 +51,39 @@ _GAT_SCAN_HBM_SAFETY = 0.92  # leave headroom for the allocator/runtime
 def _gat_scan_fits_hbm(run, weights, opt_state, key):
     """AOT-compile the fused GAT scan program and decide from XLA's own
     memory analysis whether it fits the device: peak bytes = temps +
-    (arguments + outputs − donation aliases). Returns (fits, detail); any
-    failure to answer (interpret backends, analysis unavailable, compile
-    error) reports fits=False with the reason — a worker crash must never
-    be what the user sees, so no answer means the conservative path."""
+    (arguments + outputs − donation aliases). Returns
+    (fits, detail, compiled) — ``compiled`` is the AOT executable on a
+    usable verdict (so the caller can run it instead of re-jitting) and
+    None otherwise. Any failure to answer (interpret backends, analysis
+    unavailable or returning None, a size attribute missing on this jax
+    version, compile error) reports fits=False with the reason — a worker
+    crash must never be what the user sees, so no answer means the
+    conservative path."""
     import jax as _jax
 
     try:
         compiled = run.lower(weights, opt_state, key).compile()
         ma = compiled.memory_analysis()
-        temp = int(getattr(ma, "temp_size_in_bytes", 0))
-        args = int(getattr(ma, "argument_size_in_bytes", 0))
-        outs = int(getattr(ma, "output_size_in_bytes", 0))
-        alias = int(getattr(ma, "alias_size_in_bytes", 0))
+        if ma is None:
+            # documented possibility: analysis unavailable on this backend —
+            # "can't tell" must take the conservative path, not fits=True
+            return False, "memory analysis returned None", None
+        # no getattr defaults: a renamed attribute on a future jax must land
+        # in the except (fits=False), not silently read as need=0
+        temp = int(ma.temp_size_in_bytes)
+        args = int(ma.argument_size_in_bytes)
+        outs = int(ma.output_size_in_bytes)
+        alias = int(ma.alias_size_in_bytes)
         need = temp + args + outs - alias
         stats = _jax.devices()[0].memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if not limit:
             # no reported limit (CPU/interpret): nothing to exceed
-            return True, f"need≈{need / 1e9:.2f} GB, device reports no limit"
+            return (
+                True,
+                f"need≈{need / 1e9:.2f} GB, device reports no limit",
+                compiled,
+            )
         budget = int(limit * _GAT_SCAN_HBM_SAFETY)
         detail = (
             f"XLA memory analysis: temps {temp / 1e9:.2f} GB + args+outs−donated "
@@ -77,9 +91,13 @@ def _gat_scan_fits_hbm(run, weights, opt_state, key):
             f"{budget / 1e9:.2f} GB budget ({_GAT_SCAN_HBM_SAFETY:.0%} of "
             f"{limit / 1e9:.2f} GB HBM)"
         )
-        return need <= budget, detail
+        return need <= budget, detail, compiled
     except Exception as e:  # pragma: no cover - backend-specific
-        return False, f"memory analysis unavailable ({type(e).__name__}: {e})"
+        return (
+            False,
+            f"memory analysis unavailable ({type(e).__name__}: {e})",
+            None,
+        )
 
 
 @dataclass
@@ -459,8 +477,23 @@ def _advance_key(key, n):
     return jax.lax.fori_loop(0, n, lambda i, k: jax.random.split(k)[0], key)
 
 
+def _first_chunk_len(cfg, remaining, ckpt_dir):
+    """The epoch count of the FIRST fused program `_drive_scan_run` will
+    build for this run — mirrors its chunking rules exactly. The GAT HBM
+    guard compiles this length so it checks (and can hand back) the very
+    executable the run starts with: `epochs` is a program constant, so
+    checking a different length would both measure a different program's
+    footprint and miss the persistent compile cache."""
+    ckpt_every = cfg.train.checkpoint_every if ckpt_dir else 0
+    if ckpt_every and cfg.gcn.early_stopping:
+        ckpt_every = 0  # _drive_scan_run disables chunking (with a warning)
+    if ckpt_every and remaining > ckpt_every:
+        return min(ckpt_every, remaining)
+    return remaining
+
+
 def _drive_scan_run(build_run, weights, opt_state, key, cfg, start_epoch,
-                    ckpt_dir, verbose):
+                    ckpt_dir, verbose, precompiled=None):
     """Shared scan-mode driver for fit and fit_parallel: runs the fused
     whole-run program, optionally chunked at ``checkpoint_every`` (exact on
     static schedules — the inter-chunk `_advance_key` replays the per-epoch
@@ -474,6 +507,10 @@ def _drive_scan_run(build_run, weights, opt_state, key, cfg, start_epoch,
 
     Returns ``(weights, opt_state, history, epochs_run, key)`` — ``key``
     advanced past the executed epochs when checkpoints are in play.
+
+    ``precompiled`` optionally maps chunk length → an already-AOT-compiled
+    executable (the GAT HBM guard compiles the first chunk anyway; reusing
+    it avoids compiling the big program twice per run).
     """
     import warnings
 
@@ -498,7 +535,9 @@ def _drive_scan_run(build_run, weights, opt_state, key, cfg, start_epoch,
             stacklevel=3,
         )
 
-    runs: dict[int, object] = {}  # fused program per distinct chunk length
+    # fused program per distinct chunk length (seeded with any guard-compiled
+    # executable)
+    runs: dict[int, object] = dict(precompiled or {})
 
     def run_for(n):
         if n not in runs:
@@ -725,7 +764,20 @@ def _make_scan_run(model: GCNModel, cfg: Config, dds: DeviceDataset):
             train_mask_host, val_mask_host,
         )
 
+    def bind_compiled(compiled):
+        """Wrap an executable from ``lower(...).compile()`` back into the
+        3-arg ``(weights, opt_state, key)`` calling convention (the
+        executable itself wants the full 9-arg lowered signature) — so the
+        HBM guard's AOT compile can be executed instead of re-jitted."""
+        def bound_compiled(weights, opt_state, key):
+            return compiled(
+                weights, opt_state, key, dds.graph, dds.x, x_eval_host,
+                dds.labels, train_mask_host, val_mask_host,
+            )
+        return bound_compiled
+
     bound.lower = lower
+    bound.bind_compiled = bind_compiled
     return bound
 
 
@@ -789,6 +841,7 @@ def fit(
             )
 
     mode = cfg.train.mode
+    precompiled = None  # seeded by the GAT HBM guard's AOT compile on fits
     t0 = time.perf_counter()
     if mode == "scan":
         import copy
@@ -817,12 +870,17 @@ def fit(
             import warnings
 
             remaining = max(cfg.gcn.epochs - start_epoch, 1)
-            fits, detail = _gat_scan_fits_hbm(
-                build_run(remaining), weights, opt_state, key
+            first_len = _first_chunk_len(cfg, remaining, ckpt_dir)
+            check_run = build_run(first_len)
+            fits, detail, compiled = _gat_scan_fits_hbm(
+                check_run, weights, opt_state, key
             )
             if fits:
                 if verbose:
                     print(f"fused GAT scan fits HBM — {detail}")
+                rebind = getattr(check_run, "bind_compiled", None)
+                if compiled is not None and rebind is not None:
+                    precompiled = {first_len: rebind(compiled)}
             else:
                 warnings.warn(
                     f"model=gat with edge_chunk at {dds.graph.row.shape[0]} "
@@ -838,7 +896,7 @@ def fit(
     if mode == "scan":
         weights, opt_state, history, epochs_run, key = _drive_scan_run(
             build_run, weights, opt_state, key, cfg, start_epoch,
-            ckpt_dir, verbose,
+            ckpt_dir, verbose, precompiled=precompiled,
         )
         if verbose:
             for e in range(epochs_run):

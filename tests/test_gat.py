@@ -305,7 +305,7 @@ def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
     # edges): the eager fallback must engage with a warning
     monkeypatch.setattr(
         train_mod, "_gat_scan_fits_hbm",
-        lambda run, w, o, k: (False, "forced by test"),
+        lambda run, w, o, k: (False, "forced by test", None),
     )
     with pytest.warns(UserWarning, match="falling back to mode=eager"):
         res_fb = run("scan")
