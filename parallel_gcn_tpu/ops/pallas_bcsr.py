@@ -246,6 +246,105 @@ def _bcsr_matmul_impl(tiles, tile_rows, tile_cols, x, n_nodes, n_rows=0):
 
 # module-level switch so CPU tests can run the kernel in TPU-interpret mode
 _INTERPRET = [False]
+# A/B switch for the in-kernel D·B·D scaling on int8 pattern packs (the
+# measured-win default; False = the original outside-the-kernel scalings)
+_FUSED_SCALE = [True]
+
+
+def _bcsr_kernel_scaled(rows_ref, cols_ref, tiles_ref, dr_ref, dc_ref,
+                        x_ref, o_ref):
+    """Pattern-pack kernel with the symmetric normalization FUSED: computes
+    (d_r ⊙ tile ⊙ d_c) @ x per grid step, i.e. the D·B·D factorization is
+    reconstructed on the VPU while the int8 tile is upconverted anyway.
+
+    Why: the Pallas call is a fusion boundary, so the outside-the-kernel
+    d ⊙ x and d ⊙ out scalings each materialize a full [N, F] lane-padded
+    array per pass (~11 µs each on synth-pubmed's [20480, 6] stacked
+    activations, 4 ops/epoch ≈ 45 µs — measured round 5). In-kernel the
+    scale vectors are [1, tile] lane-resident slices and the two broadcast
+    multiplies ride the existing per-tile upconvert. diag(d)·B·diag(d) is
+    symmetric, so the VJP still reuses the forward pack."""
+    t = pl.program_id(1)
+    is_first = jnp.where(t == 0, True, rows_ref[t] != rows_ref[jnp.maximum(t - 1, 0)])
+
+    @pl.when(is_first)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    tile = tiles_ref[0]
+    x = x_ref[:]
+    scaled = tile.astype(jnp.float32) * dc_ref[0, :][None, :]
+    scaled = scaled * dr_ref[0, :][:, None]
+    o_ref[:] += jnp.dot(
+        scaled.astype(x.dtype), x, preferred_element_type=jnp.float32
+    )
+
+
+def _bcsr_matmul_scaled_impl(tiles, tile_rows, tile_cols, d2, x, n_nodes):
+    T = tiles.shape[0]
+    tile_r = tiles.shape[1]
+    tile_c = tiles.shape[2]
+    n_feat = x.shape[1]
+    ft = min(_FEAT_TILE, n_feat)
+    grid = (pl.cdiv(n_feat, ft), T)
+
+    return pl.pallas_call(
+        _bcsr_kernel_scaled,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # tile_rows, tile_cols
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tile_r, tile_c),
+                    lambda f, t, rows, cols: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # d slice for this tile's ROWS
+                    (1, tile_r),
+                    lambda f, t, rows, cols: (0, rows[t]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(  # d slice for this tile's COLUMNS
+                    (1, tile_c),
+                    lambda f, t, rows, cols: (0, cols[t]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (tile_c, ft),
+                    lambda f, t, rows, cols: (cols[t], f),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_r, ft),
+                lambda f, t, rows, cols: (rows[t], f),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_nodes, n_feat), jnp.float32),
+        interpret=_INTERPRET[0],
+    )(tile_rows, tile_cols, tiles, d2, d2, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _bcsr_matmul_scaled(tiles, tile_rows, tile_cols, d2, x, n_nodes):
+    return _bcsr_matmul_scaled_impl(tiles, tile_rows, tile_cols, d2, x, n_nodes)
+
+
+def _fwd_scaled(tiles, tile_rows, tile_cols, d2, x, n_nodes):
+    out = _bcsr_matmul_scaled_impl(tiles, tile_rows, tile_cols, d2, x, n_nodes)
+    return out, (tiles, tile_rows, tile_cols, d2)
+
+
+def _bwd_scaled(n_nodes, res, g):
+    tiles, tile_rows, tile_cols, d2 = res
+    # diag(d)·B·diag(d) is symmetric (B symmetric by the pack invariant), so
+    # the backward is the SAME scaled kernel on the cotangent.
+    dx = _bcsr_matmul_scaled_impl(tiles, tile_rows, tile_cols, d2, g, n_nodes)
+    return None, None, None, None, dx
+
+
+_bcsr_matmul_scaled.defvjp(_fwd_scaled, _bwd_scaled)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -286,6 +385,14 @@ def bcsr_matmul(bcsr: BCSR, x: jnp.ndarray) -> jnp.ndarray:
         # symmetric, so the custom VJP's forward-reuse remains valid and the
         # outer diagonal scalings are self-adjoint under autodiff.
         d = bcsr.sym_scale
+        if _FUSED_SCALE[0]:
+            # reconstruct D·B·D inside the kernel: no [N, F] pre/post scale
+            # materializations at the Pallas fusion boundary (measured 45 µs
+            # per synth-pubmed epoch, ~0.5 ms per synth-reddit epoch)
+            return _bcsr_matmul_scaled(
+                bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, d[None, :], x,
+                bcsr.n_nodes,
+            )
         xs = (d[:, None] * x.astype(jnp.float32)).astype(x.dtype)
         out = _bcsr_matmul(
             bcsr.tiles, bcsr.tile_rows, bcsr.tile_cols, xs, bcsr.n_nodes
