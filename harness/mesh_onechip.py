@@ -34,7 +34,7 @@ import jax
 import numpy as np
 
 from parallel_gcn_tpu.config import default_params_path, load_config
-from parallel_gcn_tpu.data.parser import TRAIN, VAL, load_dataset
+from parallel_gcn_tpu.data.parser import TRAIN, VAL, prepare_host_dataset
 from parallel_gcn_tpu.optim import init_adam
 from parallel_gcn_tpu.train import init_model_params
 
@@ -75,7 +75,9 @@ def build_route(name: str, epochs: int):
     gat = cfg.gcn.model == "gat"
     if gat:
         cfg.tpu.edge_chunk = 0  # the tile backend bounds memory at O(N·heads)
-    ds = load_dataset(cfg, dataset)
+    # prepare_host_dataset applies the dataset's tuned reorder, exactly like
+    # the CLI path that feeds fit_parallel
+    ds = prepare_host_dataset(cfg, dataset)
     tile_dtype = cfg.tpu.tile_dtype
     if tile_dtype == "auto":
         tile_dtype = (
@@ -97,9 +99,13 @@ def build_route(name: str, epochs: int):
     inputs = device_put_sharded_inputs(mesh, sgraph, x, labels, split)
     counts = {s: int((ds.split == s).sum()) for s in (TRAIN, VAL, 3)}
     run = make_parallel_run(cfg, mesh, sgraph, counts)
-    w = init_model_params(cfg, jax.random.PRNGKey(0), ds.input_dim,
-                          ds.output_dim)
-    return run, w, inputs, cfg
+
+    def fresh_weights():
+        # fresh pytree per call — the fused run DONATES weights/opt buffers
+        return init_model_params(cfg, jax.random.PRNGKey(0), ds.input_dim,
+                                 ds.output_dim)
+
+    return run, fresh_weights, inputs, cfg
 
 
 def main() -> int:
@@ -118,10 +124,11 @@ def main() -> int:
     for name in args.routes.split(","):
         epochs = args.reddit_epochs if name.startswith("reddit") else args.epochs
         try:
-            run, w, inputs, cfg = build_route(name, epochs)
+            run, fresh_weights, inputs, cfg = build_route(name, epochs)
             key = jax.random.PRNGKey(cfg.tpu.seed)
 
             def once():
+                w = fresh_weights()
                 ww, oo, metrics, er = run(
                     w, init_adam(w), key,
                     inputs[0], inputs[0], inputs[1], inputs[2], *inputs[3:],
