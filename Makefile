@@ -40,7 +40,11 @@ run-citeseer-gat:
 	$(PY) -m parallel_gcn_tpu citeseer $(GAT_ARGS) compute_dtype=float32
 # attention at reddit scale on one chip: fused block-sparse tile attention
 # (ops/tile_attention.py) over the dataset's tuned int8 pack — 0.54 s/epoch
-# (PERFORMANCE.md; the params file already sets backend=hybrid + tiles)
+# eager (PERFORMANCE.md; the params file already sets backend=hybrid+tiles).
+# mode=eager pinned: the whole-run scan of this route faults the worker at
+# this scale (round-5 measured; the HBM guard also forces eager when the
+# device reports no memory limit). For a fused scan at 11.8M edges use the
+# mesh rect-tile route (0.37 s/epoch, harness/mesh_onechip.py)
 run-reddit-gat:
 	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
 	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager
@@ -52,8 +56,10 @@ run-cora-gat-mesh:
 	  dropouts=0.1,0.1 epochs=30 early_stopping=0 n_devices=4 \
 	  backend=hybrid halo=boundary
 # the COO fallback path (for graphs without tile packs): remat + streaming
-# chunked edge softmax, 16.6 s/epoch (fused scan mode faults this tunnel's
-# worker at this scale, so eager)
+# chunked edge softmax, 16.6 s/epoch. Its fused scan EXECUTES in the
+# round-5 environment (5.6 GB epoch-invariant temps) but saves only the
+# ~0.1 s/epoch dispatch on a 16.6 s epoch; eager kept for the guard-free
+# deterministic path
 run-reddit-gat-coo:
 	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
 	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager \

@@ -37,13 +37,15 @@ from parallel_gcn_tpu.ops.loss import l2_penalty, masked_softmax_xent
 from parallel_gcn_tpu.optim import AdamState, adam_step, init_adam
 
 
-# fused-scan GAT HBM guard: above this many padded edges, fit() AOT-compiles
-# the fused program and asks XLA for its memory footprint before executing —
-# wrapping the CHUNKED streaming attention epoch in the whole-run lax.scan
-# crashed the TPU worker at 11.8M edges (runtime HBM exhaustion) while
-# pubmed-scale ~0.5M runs fine, so small graphs skip the check's compile
-# cost. The decision itself is computed from memory_analysis() vs the
-# device's bytes_limit (no magic byte constants); see _gat_scan_fits_hbm.
+# fused-scan GAT HBM guard: above this many edges (padded COO, or real edges
+# for tile-backed graphs), fit() AOT-compiles the fused program and asks XLA
+# for its memory footprint before executing — whole-run lax.scan GAT crashed
+# the TPU worker at 11.8M edges on both the chunked streaming route (round
+# 3, HBM exhaustion) and the tile-attention route (round 5, runtime kernel
+# fault), while pubmed-scale ~0.5M runs fine, so small graphs skip the
+# check's compile cost. The decision is computed from memory_analysis() vs
+# the device's bytes_limit (no magic byte constants), with "no reported
+# limit on an accelerator" treated as can't-tell; see _gat_scan_fits_hbm.
 _GAT_SCAN_CHECK_EDGES = 1_000_000
 _GAT_SCAN_HBM_SAFETY = 0.92  # leave headroom for the allocator/runtime
 
@@ -75,14 +77,28 @@ def _gat_scan_fits_hbm(run, weights, opt_state, key):
         outs = int(ma.output_size_in_bytes)
         alias = int(ma.alias_size_in_bytes)
         need = temp + args + outs - alias
-        stats = _jax.devices()[0].memory_stats() or {}
+        dev = _jax.devices()[0]
+        stats = dev.memory_stats() or {}
         limit = int(stats.get("bytes_limit", 0))
         if not limit:
-            # no reported limit (CPU/interpret): nothing to exceed
+            if dev.platform == "cpu":
+                # CPU/interpret: host memory, nothing to exceed
+                return (
+                    True,
+                    f"need≈{need / 1e9:.2f} GB, CPU reports no limit",
+                    compiled,
+                )
+            # an accelerator that does not report its limit (the axon tunnel
+            # backend does not): a YES here executed a worker-crashing
+            # program in round 5 (tile-route GAT scan at 11.8M edges — a
+            # runtime kernel fault XLA's own analysis does not predict:
+            # need≈5.6 GB on a 16 GB device). No answer means the
+            # conservative path.
             return (
-                True,
-                f"need≈{need / 1e9:.2f} GB, device reports no limit",
-                compiled,
+                False,
+                f"need≈{need / 1e9:.2f} GB, but the device reports no "
+                "memory limit to check against",
+                None,
             )
         budget = int(limit * _GAT_SCAN_HBM_SAFETY)
         detail = (
@@ -855,18 +871,24 @@ def fit(
 
         if (
             cfg.gcn.model == "gat"
-            and cfg.tpu.edge_chunk
-            and dds.graph.row.shape[0] > _GAT_SCAN_CHECK_EDGES
+            and max(dds.graph.row.shape[0], dds.graph.n_real_edges)
+            > _GAT_SCAN_CHECK_EDGES
         ):
-            # containment for a measured failure mode: wrapping the CHUNKED
-            # streaming attention epoch in the fused whole-run lax.scan
-            # crashed the TPU worker at reddit scale (compiles fine; the
-            # crash is runtime HBM exhaustion — the same program runs at
-            # pubmed scale). Ask the compiler, not a magic constant: AOT-
-            # compile the program and compare XLA's own memory analysis to
-            # the device limit. A worker crash must never be what the user
-            # sees, so "can't tell" also takes the eager path. The extra
-            # compile is a persistent-cache hit on the CLI/bench entries.
+            # containment for measured failure modes: wrapping a large-GAT
+            # epoch in the fused whole-run lax.scan crashed the TPU worker
+            # at reddit scale on BOTH routes at different times — the
+            # edge_chunk streaming attention in round 3 (runtime HBM
+            # exhaustion; executes in the round-5 environment, 5.6 GB
+            # epoch-invariant temps) and the tile-attention route in round
+            # 5 (a runtime kernel fault XLA's memory analysis does NOT
+            # predict). For hybrid graphs row.shape[0] is only the residual,
+            # so the tile scale rides n_real_edges. Ask the compiler, not a
+            # magic constant: AOT-compile the program and compare XLA's own
+            # memory analysis to the device limit. A worker crash must
+            # never be what the user sees, so "can't tell" (including an
+            # accelerator that reports no limit, like the axon tunnel) also
+            # takes the eager path. The extra compile is a persistent-cache
+            # hit on the CLI/bench entries.
             import warnings
 
             remaining = max(cfg.gcn.epochs - start_epoch, 1)
