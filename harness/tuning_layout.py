@@ -95,6 +95,12 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--backends", default="", help="comma filter, e.g. hybrid")
     ap.add_argument("--reorders", default="", help="comma filter, e.g. rcm")
+    ap.add_argument("--tiles", default="",
+                    help="comma filter on tile_size, e.g. 512 (bounds the "
+                    "grid at products scale where each config costs minutes "
+                    "of pack building)")
+    ap.add_argument("--mults", default="",
+                    help="comma filter on the tile_cols multiplier, e.g. 2,4")
     ap.add_argument("--tile-dtypes", default="auto",
                     help="comma list for tile backends, e.g. auto,int8")
     ap.add_argument("--adj-dtypes", default="auto",
@@ -123,6 +129,10 @@ def main() -> int:
         grid["backend"] = requested
     if args.reorders:
         grid["reorder"] = [r for r in grid["reorder"] if r in args.reorders.split(",")]
+    if args.tiles:
+        grid["tile_size"] = [int(t) for t in args.tiles.split(",")]
+    if args.mults:
+        grid["cols_mult"] = [int(m) for m in args.mults.split(",")]
 
     rows = []
     seen = set()
