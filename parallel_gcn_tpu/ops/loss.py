@@ -16,14 +16,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# Opt-in switch for the lane-packed CE path — MEASURED NEGATIVE on v5e
-# (synth-pubmed epoch 644 → 757 µs): the two boundary relayouts across the
-# lane dimension lower as transposes that cost more than the padded-stream
-# HBM traffic they remove. Kept in-tree with the same status as
-# ops/pallas_ce.py (the first CE experiment that lost): the packed and
-# plain paths compute the identical expression (grads bit-exact, loss sums
-# differ only in reduction order), so the harness can re-test on future
-# hardware/compilers where relayouts get cheaper.
+# Opt-in switch for the lane-packed CE path — MEASURED NEGATIVE on v5e at
+# BOTH scales (synth-pubmed epoch 644 → 757 µs; synth-reddit 17.6 →
+# 33.2 ms): the boundary relayouts across the lane dimension lower as
+# transposes that cost more than the padded-stream HBM traffic they
+# remove, and at C=41 the g=64 group still wastes 36% of each lane row.
+# Kept in-tree with the same status as ops/pallas_ce.py (the first CE
+# experiment that lost): the packed and plain paths compute the identical
+# expression (grads bit-exact, loss sums differ only in reduction order),
+# so the harness can re-test on future hardware/compilers where relayouts
+# get cheaper.
 _PACKED = [False]
 
 # Large-negative pad for unused class lanes: exp(pad − max) underflows to
