@@ -38,7 +38,10 @@ BASELINE_MS = {
 EPOCHS = {"synth-reddit": 100}
 EPOCHS_DEFAULT = 1000
 REPS = {"synth-reddit": 5}
-REPS_DEFAULT = 5
+# sub-ms epochs: tunnel jitter dominates single reps (observed spread
+# 0.106-0.115 ms on cora across runs), and each rep costs < 1 s — take the
+# min over more of them
+REPS_DEFAULT = 9
 DATASETS = ["cora", "citeseer", "synth-pubmed", "synth-reddit"]
 
 
