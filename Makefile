@@ -73,6 +73,11 @@ scale-demo:
 bench:
 	$(PY) bench.py
 
+# the mesh path on the REAL chip: 1-device mesh, fused runs, sharding tax
+# vs plain fit (GCN hybrid slabs + GAT rect tile attention)
+mesh-onechip:
+	$(PY) harness/mesh_onechip.py
+
 perf:
 	$(PY) harness/performance.py
 

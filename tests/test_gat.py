@@ -318,6 +318,86 @@ def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gat_scan_guard_no_limit_accelerator_is_conservative(monkeypatch):
+    """An accelerator that does NOT report bytes_limit (the axon tunnel
+    backend) must get the conservative verdict: a fits=True there executed
+    a worker-crashing tile-scan program in round 5 (the runtime kernel
+    fault XLA's 5.6 GB analysis did not predict). CPU keeps fits=True so
+    the virtual-mesh tests run scan mode."""
+    import parallel_gcn_tpu.train as train_mod
+
+    class FakeDev:
+        platform = "tpu"
+
+        def memory_stats(self):
+            return {}  # no bytes_limit, like the axon tunnel
+
+    class FakeCompiled:
+        def memory_analysis(self):
+            class MA:
+                temp_size_in_bytes = 5_600_000_000
+                argument_size_in_bytes = 100
+                output_size_in_bytes = 100
+                alias_size_in_bytes = 0
+            return MA()
+
+    class FakeRun:
+        def lower(self, *a):
+            class L:
+                def compile(self):
+                    return FakeCompiled()
+            return L()
+
+    import jax as _real_jax
+
+    # _gat_scan_fits_hbm does `import jax as _jax` internally — patch the
+    # real module's devices() for the duration of this test
+    monkeypatch.setattr(_real_jax, "devices", lambda: [FakeDev()])
+    fits, detail, compiled = train_mod._gat_scan_fits_hbm(
+        FakeRun(), None, None, None
+    )
+    assert not fits and compiled is None
+    assert "no memory limit" in detail
+
+    # a missing size attribute (jax API drift) must also land conservative,
+    # not silently read as need=0 (ADVICE r4 medium finding)
+    class BadMA:
+        pass
+
+    class BadCompiled(FakeCompiled):
+        def memory_analysis(self):
+            return BadMA()
+
+    class BadRun(FakeRun):
+        def lower(self, *a):
+            class L:
+                def compile(self):
+                    return BadCompiled()
+            return L()
+
+    fits, detail, compiled = train_mod._gat_scan_fits_hbm(
+        BadRun(), None, None, None
+    )
+    assert not fits and compiled is None
+
+    # and memory_analysis() returning None likewise
+    class NoneCompiled(FakeCompiled):
+        def memory_analysis(self):
+            return None
+
+    class NoneRun(FakeRun):
+        def lower(self, *a):
+            class L:
+                def compile(self):
+                    return NoneCompiled()
+            return L()
+
+    fits, detail, compiled = train_mod._gat_scan_fits_hbm(
+        NoneRun(), None, None, None
+    )
+    assert not fits and "None" in detail
+
+
 @pytest.mark.parametrize("halo,mode", [
     ("all_gather", "scan"),
     ("boundary", "scan"),
