@@ -194,6 +194,14 @@ class TPUConfig:
     # ships fewer rows — bounds the slab by min(pull, push); hub-heavy
     # graphs; COO backends only), ring (ppermute block rotation; COO only)
     n_devices: int = 0
+    # large-GAT scan guard (train._gat_scan_fits_hbm): AOT memory check with
+    # conservative fallback to eager on can't-tell — incl. accelerators that
+    # report no bytes_limit, where an intermittent worker fault was observed
+    # (round 5: the same tile-scan program that crashed once measured a
+    # stable 412 ms/epoch across repeated runs later the same day). False
+    # skips the guard: scan proceeds unguarded (accepting the crash risk)
+    # for the measured ~24% win over eager at reddit scale.
+    gat_scan_check: bool = True
     halo: str = "all_gather"
     # auto-fallback to all_gather when the boundary/adaptive compact buffer
     # would NOT be smaller than the gathered matrix (the all_to_all pads every
@@ -320,6 +328,7 @@ _KEYMAP = {
     "n_devices": ("tpu", "n_devices"),
     "halo": ("tpu", "halo"),
     "halo_fallback": ("tpu", "halo_fallback"),
+    "gat_scan_check": ("tpu", "gat_scan_check"),
     "tp": ("tpu", "tp"),
     "balance_slabs": ("tpu", "balance_slabs"),
     "input_preagg": ("tpu", "input_preagg"),

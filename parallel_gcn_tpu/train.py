@@ -871,6 +871,7 @@ def fit(
 
         if (
             cfg.gcn.model == "gat"
+            and cfg.tpu.gat_scan_check
             and max(dds.graph.row.shape[0], dds.graph.n_real_edges)
             > _GAT_SCAN_CHECK_EDGES
         ):
@@ -905,12 +906,15 @@ def fit(
                     precompiled = {first_len: rebind(compiled)}
             else:
                 warnings.warn(
-                    f"model=gat with edge_chunk at {dds.graph.row.shape[0]} "
-                    f"padded edges: the fused scan-mode program does not fit "
-                    f"device memory ({detail}) — falling back to mode=eager "
-                    "(identical model/metrics, one host round-trip per "
-                    "epoch). Set edge_chunk=0 to keep scan mode if the "
-                    "unchunked attention fits",
+                    f"large-graph model=gat "
+                    f"({max(dds.graph.row.shape[0], dds.graph.n_real_edges)}"
+                    f" edges): the fused scan-mode program cannot be cleared "
+                    f"against device memory ({detail}) — falling back to "
+                    "mode=eager (identical model/metrics, one host "
+                    "round-trip per epoch). Set gat_scan_check=false to run "
+                    "the scan unguarded (measured ~24% faster than eager at "
+                    "reddit scale, but an intermittent worker fault has "
+                    "been observed on devices that report no memory limit)",
                     stacklevel=2,
                 )
                 mode = "eager"
