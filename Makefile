@@ -48,6 +48,11 @@ run-citeseer-gat:
 run-reddit-gat:
 	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
 	  dropouts=0.0,0.1 epochs=100 early_stopping=0 mode=eager
+# the unguarded fused scan: 412 ms/epoch measured (24% faster than eager)
+# but accepts the intermittent-worker-fault risk the guard exists for
+run-reddit-gat-scan:
+	$(PY) -m parallel_gcn_tpu synth-reddit model=gat heads=2 hidden_dims=32 \
+	  dropouts=0.0,0.1 epochs=100 early_stopping=0 gat_scan_check=false
 # mesh GAT: the SAME fused tile attention sharded over gat_mesh_pack rect
 # slabs (parallel/partition.py + ops/tile_attention.gat_attend_rect); falls
 # back to a virtual CPU mesh when chips are short
