@@ -128,10 +128,32 @@ def bench_dataset(name: str) -> dict:
     }
 
 
+def tunnel_probe_ms() -> float:
+    """Round-trip a trivial matmul to stamp the measurement window into the
+    result: the axon tunnel degrades episodically (a healthy window returns
+    in ~0.2 s; degraded windows have measured 200+ s), and sub-ms epoch
+    numbers taken in a bad window read as regressions. The probe makes the
+    recorded artifact carry its own context."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256))
+    np.asarray(jnp.dot(x, x))  # compile + first transfer
+    t0 = time.perf_counter()
+    np.asarray(jnp.dot(x, x))
+    return (time.perf_counter() - t0) * 1e3
+
+
 def main() -> int:
     datasets = sys.argv[1:] or list(DATASETS)
     detail = {}
     failed = []
+    try:
+        probe_ms = round(tunnel_probe_ms(), 1)
+        log(f"[probe] trivial-matmul round-trip {probe_ms} ms")
+    except Exception as e:  # pragma: no cover - never sink the bench
+        log(f"[probe] failed: {type(e).__name__}: {e}")
+        probe_ms = None
     for name in datasets:
         try:
             r = bench_dataset(name)
@@ -162,6 +184,7 @@ def main() -> int:
         "vs_baseline": round(geomean, 3),
         "datasets_ok": sorted(detail),
         "datasets_failed": failed,
+        "tunnel_probe_ms": probe_ms,
         "detail": detail,
     }))
     return 0
