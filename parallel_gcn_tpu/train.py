@@ -920,10 +920,52 @@ def fit(
                 mode = "eager"
 
     if mode == "scan":
-        weights, opt_state, history, epochs_run, key = _drive_scan_run(
-            build_run, weights, opt_state, key, cfg, start_epoch,
-            ckpt_dir, verbose, precompiled=precompiled,
+        # runtime containment for the intermittent large-GAT worker fault
+        # (round 5: the same tile-scan program crashed once and then ran
+        # reliably — see _gat_scan_fits_hbm): snapshot the initial state to
+        # HOST memory so a mid-run device crash can fall back to eager with
+        # the exact same initialization instead of surfacing JaxRuntimeError
+        # (the scan call DONATES the device buffers, so without the snapshot
+        # there is nothing left to retry from). Only the risky class pays
+        # the copy (a few MB of weights).
+        risky_gat = (
+            cfg.gcn.model == "gat"
+            and max(dds.graph.row.shape[0], dds.graph.n_real_edges)
+            > _GAT_SCAN_CHECK_EDGES
         )
+        host_snapshot = (
+            (jax.tree.map(np.asarray, weights),
+             jax.tree.map(np.asarray, opt_state),
+             np.asarray(key))
+            if risky_gat else None
+        )
+        try:
+            weights, opt_state, history, epochs_run, key = _drive_scan_run(
+                build_run, weights, opt_state, key, cfg, start_epoch,
+                ckpt_dir, verbose, precompiled=precompiled,
+            )
+        except Exception as e:
+            msg = str(e)
+            recoverable = host_snapshot is not None and any(
+                s in msg for s in ("crash", "restarted", "UNAVAILABLE")
+            )
+            if not recoverable:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"fused GAT scan crashed the device worker at runtime "
+                f"({type(e).__name__}) — restoring the initial state from "
+                "the host snapshot and retrying in mode=eager (identical "
+                "model/metrics, one host round-trip per epoch)",
+                stacklevel=2,
+            )
+            weights = jax.device_put(host_snapshot[0])
+            opt_state = jax.device_put(host_snapshot[1])
+            key = jax.device_put(host_snapshot[2])
+            mode = "eager"
+
+    if mode == "scan":
         if verbose:
             for e in range(epochs_run):
                 tl, ta, vl, va = history[e]

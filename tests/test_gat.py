@@ -318,6 +318,59 @@ def test_gat_scan_chunked_falls_back_to_eager(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_gat_scan_runtime_crash_recovers_to_eager(monkeypatch):
+    """The intermittent large-GAT worker fault strikes at EXECUTION time,
+    after the guard's compile check passed — fit() must restore the initial
+    state from its host snapshot and rerun in eager mode, producing the
+    eager trajectory, not a JaxRuntimeError."""
+    import parallel_gcn_tpu.train as train_mod
+    from parallel_gcn_tpu.data.parser import Dataset, to_device
+
+    csr, x, labels, split = _synthetic()
+    ds = Dataset(
+        name="t", graph=csr, feature_csr=None, features=x, labels=labels,
+        split=split, n_nodes=csr.n_rows, input_dim=x.shape[1],
+        output_dim=int(labels.max()) + 1,
+    )
+    dds = to_device(ds)
+
+    def run(mode):
+        cfg = Config(
+            gcn=GCNConfig(n_layers=2, hidden_dims=(8,), dropouts=(0.3, 0.3),
+                          epochs=6, early_stopping=0, model="gat", heads=2),
+            tpu=TPUConfig(backend="segment", dense_threshold=0,
+                          matmul_precision="highest", seed=7),
+            train=TrainConfig(verbose=False, mode=mode),
+        )
+        return fit(cfg, dds)
+
+    res_eager = run("eager")
+
+    # make this fixture count as "large" so the snapshot machinery engages,
+    # let the guard pass (CPU), then blow up the scan execution like the
+    # observed fault does
+    monkeypatch.setattr(train_mod, "_GAT_SCAN_CHECK_EDGES", 10)
+    real_drive = train_mod._drive_scan_run
+
+    def exploding_drive(*a, **k):
+        raise RuntimeError("TPU worker process crashed or restarted.")
+
+    monkeypatch.setattr(train_mod, "_drive_scan_run", exploding_drive)
+    with pytest.warns(UserWarning, match="retrying in mode=eager"):
+        res_fb = run("scan")
+    np.testing.assert_allclose(res_fb.history, res_eager.history,
+                               rtol=1e-5, atol=1e-6)
+
+    # an UNRELATED error must still surface, not be eaten by the recovery
+    def unrelated(*a, **k):
+        raise RuntimeError("some compiler bug")
+
+    monkeypatch.setattr(train_mod, "_drive_scan_run", unrelated)
+    with pytest.raises(RuntimeError, match="some compiler bug"):
+        run("scan")
+    monkeypatch.setattr(train_mod, "_drive_scan_run", real_drive)
+
+
 def test_gat_scan_guard_no_limit_accelerator_is_conservative(monkeypatch):
     """An accelerator that does NOT report bytes_limit (the axon tunnel
     backend) must get the conservative verdict: a fits=True there executed
