@@ -12,6 +12,12 @@ memory-constrained inputs and for numerical parity tests; its weight gradient
 comes out of autograd as the gather-transpose scatter, the functional
 equivalent of the reference's atomicAdd kernel (src/module.cu:136-152), with no
 atomics because XLA scatters are deterministic.
+
+Measured (round 5, harness/feature_impl_bench.py): the full sparse training
+chain is 5-6× SLOWER than dense at citation scale in every layout — the
+segment scatter prices at ~8-9 ns/index, so ~1% density is ~10× too dense
+for index-chasing to beat one MXU pass over all cells (PERFORMANCE.md
+"Negative results"). Dense-by-default is a measured decision, not a guess.
 """
 
 from __future__ import annotations
