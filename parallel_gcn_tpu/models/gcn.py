@@ -103,11 +103,20 @@ class GCNModel:
             precision=self.precision,
         )
 
-    def layer_pre(self, h, layer, weights, key, training):
-        """Layer ``layer``'s pre-aggregation half: dropout → feature transform
-        (with the optional fused dropout⊗matmul kernel). Shared by ``apply``
-        and the deferred-eval fused path (train._fused_deferred_forward) so
-        the per-layer semantics have one source of truth."""
+    def layer_pre(self, h, layer, weights, key, training, pre_relu: bool = False):
+        """Layer ``layer``'s pre-aggregation half: [relu →] dropout → feature
+        transform (with the optional fused dropout⊗matmul kernel). Shared by
+        ``apply`` and the deferred-eval fused path
+        (train._fused_deferred_forward) so the per-layer semantics have one
+        source of truth.
+
+        ``pre_relu``: the PREVIOUS layer's trailing ReLU, deferred into this
+        layer's entry by the non-residual apply loop so it can fuse with the
+        dropout (ops.pallas_dropout.relu_dropout_pallas — one kernel pass,
+        backward a fusible elementwise instead of a PRNG re-walk + a separate
+        ReLU backward). Trajectory-identical to relu-then-dropout: the fused
+        kernel walks the exact same PRNG bits and masking commutes with
+        max(·, 0)."""
         dtype = jnp.dtype(self.compute_dtype)
         rate = self.dropouts[layer]
         if (
@@ -119,11 +128,27 @@ class GCNModel:
             from parallel_gcn_tpu.ops.pallas_dropout import key_to_seed
             from parallel_gcn_tpu.ops.pallas_fused import dropout_matmul
 
+            if pre_relu:
+                h = jax.nn.relu(h)
             return dropout_matmul(
                 h, weights[layer].astype(dtype), key_to_seed(key),
                 rate, self.precision == "highest",
                 layer > 0,  # layer 0's input is data — skip the dX kernel
             ).astype(dtype)
+        if pre_relu:
+            if training and rate > 0.0 and self.dropout_impl == "pallas":
+                from parallel_gcn_tpu.ops.pallas_dropout import (
+                    key_to_seed,
+                    relu_dropout_pallas,
+                )
+
+                h = relu_dropout_pallas(h, key_to_seed(key), rate)
+                return feature_transform(
+                    h, weights[layer], precision=self.precision, out_dtype=dtype
+                )
+            # eval / zero-rate / threefry: plain ReLU (XLA fuses it into the
+            # following matmul's operand read)
+            h = jax.nn.relu(h)
         h = self._dropout(h, rate, key, training)
         return feature_transform(
             h, weights[layer], precision=self.precision, out_dtype=dtype
@@ -161,18 +186,28 @@ class GCNModel:
             assert self.dropouts[0] == 0.0, (
                 "input_preagg is only exact for training with zero input dropout"
             )
-        def layer_fn(h, weights, key, layer, skip_agg):
-            h = self.layer_pre(h, layer, weights, key, training)
+        def layer_fn(h, weights, key, layer, skip_agg, pre_relu):
+            h = self.layer_pre(h, layer, weights, key, training, pre_relu=pre_relu)
             if not skip_agg:
                 h = self.aggregate(h, graph)
             return h
 
+        # Without residual connections the trailing ReLU is deferred into the
+        # NEXT layer's entry (pre_relu) so it can fuse with that layer's
+        # dropout kernel. With residuals the skip path needs the post-ReLU
+        # activation, so the eager ReLU placement stays.
+        defer_relu = not self.residual
         prev = None
+        pending_relu = False
         for layer in range(self.n_layers):
             fn = layer_fn
             if self.remat and training:
-                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
-            h = fn(h, weights, keys[layer], layer, layer == 0 and preagg)
+                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4, 5))
+            h = fn(
+                h, weights, keys[layer], layer, layer == 0 and preagg,
+                pending_relu,
+            )
+            pending_relu = False
             if (
                 self.residual
                 and 0 < layer < self.n_layers - 1
@@ -181,6 +216,9 @@ class GCNModel:
             ):
                 h = h + prev
             if layer < self.n_layers - 1:
-                h = jax.nn.relu(h)
-                prev = h
+                if defer_relu:
+                    pending_relu = True
+                else:
+                    h = jax.nn.relu(h)
+                    prev = h
         return h.astype(jnp.float32)

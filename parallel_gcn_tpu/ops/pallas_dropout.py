@@ -114,3 +114,91 @@ def key_to_seed(key: jax.Array) -> jax.Array:
     """Cheap int32 seed from a threefry key (no RNG invocation)."""
     data = jax.random.key_data(key)
     return (data[-1] & 0x7FFFFFFF).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Fused ReLU → dropout
+# ---------------------------------------------------------------------------
+# Every inner GCN layer ends `… → Â·(·) → ReLU` and the next layer starts
+# with dropout (reference: src/gcn.cu:47-142) — so at training time the pair
+# ReLU→dropout always runs back-to-back on a full [N, H] activation. Fusing
+# the ReLU into the dropout kernel is trajectory-IDENTICAL to the unfused
+# pair (mask ∈ {0, 1/keep} is nonnegative, so mask·max(z,0) ≡ max(mask·z,0);
+# the kernel reuses _dropout_kernel's exact seeding and block geometry, hence
+# the exact bits) and pays twice:
+#
+#   * forward: the separate ReLU pass over [N, H] (a read+write that XLA
+#     cannot fuse into the Pallas dropout call — a custom call is a fusion
+#     boundary) disappears; max(z, 0) rides the VPU inside the kernel.
+#   * backward: d/dz [mask·relu(z)] = mask·1[z>0] = 1[out>0]/keep — the
+#     saved OUTPUT alone reconstructs the combined mask (out > 0 iff the
+#     element was kept AND positive), so the backward needs neither the
+#     Philox re-walk kernel nor a separate ReLU-backward pass: it is one
+#     plain-XLA elementwise (g · 1[out>0] · 1/keep) that fuses into its
+#     neighbors. `out` is free to save — autograd already keeps it as the
+#     residual for the following matmul's weight gradient.
+
+
+def _relu_dropout_kernel(seed_ref, x_ref, o_ref, *, threshold: int, inv_keep: float):
+    # identical seeding/bit-walk to _dropout_kernel: same seed → same mask
+    block_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + block_id)
+    bits = pltpu.prng_random_bits(x_ref.shape)
+    keep = bits.astype(jnp.uint32) < jnp.uint32(threshold)
+    x = x_ref[:]
+    x = jnp.maximum(x, jnp.asarray(0, x.dtype))
+    o_ref[:] = jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype), 0)
+
+
+def _run_relu_kernel(x, seed, rate: float, interpret):
+    keep = 1.0 - rate
+    threshold = min(int(round(keep * 2.0**32)), 2**32 - 1)
+    n, f = x.shape
+    rows, f_tile = mask_block_geometry(n, f)
+    grid = (pl.cdiv(n, rows), pl.cdiv(f, f_tile))
+    kernel = functools.partial(
+        _relu_dropout_kernel, threshold=threshold, inv_keep=1.0 / keep
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (rows, f_tile),
+                    lambda i, j, seed_ref: (i, j),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (rows, f_tile),
+                lambda i, j, seed_ref: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(seed.reshape(1).astype(jnp.int32), x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def relu_dropout_pallas(x, seed, rate: float, interpret: bool = False):
+    """``dropout(relu(x))`` in one kernel pass, bit-identical in distribution
+    AND trajectory to ``dropout_pallas(relu(x), seed, rate)``."""
+    return _run_relu_kernel(x, seed, rate, interpret)
+
+
+def _relu_fwd(x, seed, rate, interpret):
+    out = _run_relu_kernel(x, seed, rate, interpret)
+    return out, out
+
+
+def _relu_bwd(rate, interpret, out, g):
+    # kept-and-positive mask recovered from the saved output; fusible XLA
+    # elementwise — no PRNG re-walk, no separate ReLU backward pass
+    inv_keep = jnp.asarray(1.0 / (1.0 - rate), g.dtype)
+    return (jnp.where(out > 0, g * inv_keep, jnp.asarray(0, g.dtype)), None)
+
+
+relu_dropout_pallas.defvjp(_relu_fwd, _relu_bwd)

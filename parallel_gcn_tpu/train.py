@@ -433,23 +433,33 @@ def _fused_deferred_forward(
     def agg(h):
         return model.aggregate(h, graph)
 
+    # without residuals the trailing ReLU defers into the next layer's entry
+    # (fuses with its dropout kernel — see GCNModel.layer_pre pre_relu); the
+    # prefix then returns a PRE-ReLU activation and the last layer applies it
+    defer_relu = not model.residual
+
     def prefix(h, training, preagg):
         # layers 0..L-2 of GCNModel.apply, via the shared per-layer core
-        def layer_fn(h, weights, key, layer, skip_agg):
-            h = model.layer_pre(h, layer, weights, key, training)
+        def layer_fn(h, weights, key, layer, skip_agg, pre_relu):
+            h = model.layer_pre(h, layer, weights, key, training, pre_relu=pre_relu)
             if not skip_agg:
                 h = agg(h)
             return h
 
         prev = None
+        pending_relu = False
         for layer in range(L - 1):
             fn = layer_fn
             if model.remat and training:
                 # same lever as GCNModel.apply — without this the fused
                 # deferred path (the DEFAULT training schedule) would
                 # silently ignore the remat knob
-                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4))
-            h = fn(h, weights, keys[layer], layer, layer == 0 and preagg)
+                fn = jax.checkpoint(layer_fn, static_argnums=(3, 4, 5))
+            h = fn(
+                h, weights, keys[layer], layer, layer == 0 and preagg,
+                pending_relu,
+            )
+            pending_relu = False
             if (
                 model.residual
                 and 0 < layer < L - 1
@@ -457,8 +467,11 @@ def _fused_deferred_forward(
                 and prev.shape == h.shape
             ):
                 h = h + prev
-            h = jax.nn.relu(h)
-            prev = h
+            if defer_relu:
+                pending_relu = True
+            else:
+                h = jax.nn.relu(h)
+                prev = h
         return h
 
     train_preagg = model.input_preagg
@@ -472,8 +485,8 @@ def _fused_deferred_forward(
     ht = prefix(x_train.astype(dtype), True, train_preagg)
     he = ht if share else prefix(x_eval.astype(dtype), False, eval_preagg)
 
-    at = model.layer_pre(ht, L - 1, weights, keys[L - 1], True)
-    ae = model.layer_pre(he, L - 1, weights, None, False)
+    at = model.layer_pre(ht, L - 1, weights, keys[L - 1], True, pre_relu=defer_relu)
+    ae = model.layer_pre(he, L - 1, weights, None, False, pre_relu=defer_relu)
     n_classes = at.shape[1]
     stacked = agg(jnp.concatenate([at, ae], axis=1))
     return (

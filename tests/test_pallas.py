@@ -59,3 +59,63 @@ def test_key_to_seed_distinct():
     k = jax.random.PRNGKey(0)
     seeds = {int(key_to_seed(jax.random.fold_in(k, i))) for i in range(32)}
     assert len(seeds) == 32
+
+
+# --- fused ReLU → dropout (ops/pallas_dropout.relu_dropout_pallas) ---------
+
+from parallel_gcn_tpu.ops.pallas_dropout import relu_dropout_pallas  # noqa: E402
+
+
+def test_relu_dropout_matches_composition_interpret():
+    """relu_dropout_pallas(x) must equal dropout_pallas(relu(x)) bitwise —
+    the two walk the same PRNG stream and masking commutes with max(·,0).
+    (Interpret mode: degenerate all-keep mask; the TPU test below covers the
+    real bit-walk.)"""
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((200, 300)), jnp.float32
+    )
+    seed = jnp.asarray(11, jnp.int32)
+    fused = np.asarray(relu_dropout_pallas(x, seed, 0.4, INTERP))
+    composed = np.asarray(dropout_pallas(jax.nn.relu(x), seed, 0.4, INTERP))
+    np.testing.assert_array_equal(fused, composed)
+    assert (fused[np.asarray(x) < 0] == 0).all()
+
+
+def test_relu_dropout_vjp_mask_consistency():
+    """dx is nonzero exactly where the OUTPUT is positive (kept AND x>0),
+    with value g/keep — the saved-output backward, no PRNG re-walk."""
+    x = jnp.asarray(
+        np.random.default_rng(6).standard_normal((128, 96)), jnp.float32
+    )
+    seed = jnp.asarray(9, jnp.int32)
+    fwd = lambda x: relu_dropout_pallas(x, seed, 0.25, INTERP)
+    out, vjp = jax.vjp(fwd, x)
+    (dx,) = vjp(jnp.full_like(x, 1.0))
+    out, dx = np.asarray(out), np.asarray(dx)
+    np.testing.assert_array_equal(out > 0, dx != 0)
+    if (dx != 0).any():
+        np.testing.assert_allclose(dx[dx != 0], 1 / 0.75, rtol=1e-6)
+    # negative inputs never propagate gradient
+    assert (dx[np.asarray(x) <= 0] == 0).all()
+
+
+@requires_tpu
+def test_relu_dropout_matches_composition_tpu():
+    """Real hardware PRNG: the fused kernel's trajectory is bit-identical to
+    the unfused relu → dropout_pallas pair (same seed → same mask), and the
+    fused VJP equals the composed VJP."""
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((1000, 257)), jnp.float32
+    )
+    seed = jnp.asarray(42, jnp.int32)
+    fused, f_vjp = jax.vjp(lambda x: relu_dropout_pallas(x, seed, 0.4), x)
+    composed, c_vjp = jax.vjp(
+        lambda x: dropout_pallas(jax.nn.relu(x), seed, 0.4), x
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(composed))
+    g = jnp.asarray(
+        np.random.default_rng(8).standard_normal(x.shape), jnp.float32
+    )
+    (dxf,) = f_vjp(g)
+    (dxc,) = c_vjp(g)
+    np.testing.assert_allclose(np.asarray(dxf), np.asarray(dxc), rtol=1e-6)
